@@ -1,0 +1,41 @@
+"""Test configuration: 8 virtual CPU devices + fp64.
+
+Multi-device sharding is tested without a TPU pod via the JAX idiom of
+forcing N host CPU devices (SURVEY.md §4) — the axon sitecustomize pins
+JAX_PLATFORMS=axon, so we override through jax.config before any backend
+initialization.
+"""
+
+import os
+
+# Must be set before the CPU client initializes.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+from topopteval_tpu.utils import set_verbosity
+
+set_verbosity(False)
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    return os.path.join(os.path.dirname(__file__), "..", "data")
+
+
+@pytest.fixture(scope="session")
+def beam_tet_path(data_dir):
+    return os.path.join(data_dir, "beam_linear_volume_mesh.vtu")
+
+
+@pytest.fixture(scope="session")
+def beam_hex_path(data_dir):
+    return os.path.join(data_dir, "beam_vfrac_04_Raw.vtu")
