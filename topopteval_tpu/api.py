@@ -1,0 +1,375 @@
+"""High-level workflow API — functional parity with the reference facade.
+
+The reference drives a linear pipeline entirely from the caller:
+import → setup → assemble → BC/loads → solve → post-process → export
+(reference: test/runtests.jl:24-48; facade exports src/TopOptEval.jl:17-42).
+This module reproduces that pipeline over the TPU-native core: a
+:class:`Problem` carries the mesh + accumulated loads/constraints/material,
+and ``solve_system`` lowers to the matrix-free device solver.
+
+Name mapping (reference → here):
+  import_mesh                  → import_mesh
+  extract_cell_density         → extract_cell_density
+  calculate_volume             → calculate_volume
+  create_material_model        → create_material_model (materials.py)
+  create_simp_material_model   → create_simp_material_model (materials.py)
+  setup_problem                → setup_problem
+  assemble_stiffness_matrix!   → assemble_stiffness_matrix
+  assemble_stiffness_matrix_simp! → assemble_stiffness_matrix_simp
+  select_nodes_by_plane/circle → fem.bc selectors (re-exported)
+  apply_fixed_boundary!        → apply_fixed_boundary
+  apply_sliding_boundary!      → apply_sliding_boundary
+  apply_force!                 → apply_force
+  get_node_dofs                → mesh.dofs_of_nodes (arithmetic)
+  solve_system / _simp         → solve_system
+  solve_system_adaptive        → solve_system_adaptive
+  calculate_stresses / _simp   → ops.stress.stress_summary via results
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (ADAPTIVE_DOF_THRESHOLD, SolverConfig, adaptive_config)
+from .fem.bc import DirichletBC, free_mask_from_bcs
+from .fem.operator import StiffnessOperator, assemble_scipy
+from .fem.solvers import (block_jacobi_preconditioner, cg, direct_solve,
+                          jacobi_preconditioner)
+from .materials import SIMPMaterial, lame_parameters
+from .mesh import DIM, Mesh, dofs_of_nodes
+from .ops.elements import element_volumes
+from .ops.stress import stress_summary
+from .utils.terminal import log, print_warning
+
+
+# ---------------------------------------------------------------------------
+# Mesh import / inspection
+# ---------------------------------------------------------------------------
+
+
+def import_mesh(path: str) -> Mesh:
+    """Read a .vtu or .msh mesh (reference: MeshImport.jl:20-164)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".vtu":
+        log(f"Importing VTU mesh from {path}...")
+        from .io.vtu import read_vtu_mesh
+        return read_vtu_mesh(path)
+    if ext == ".msh":
+        log(f"Importing GMSH mesh from {path}...")
+        from .io.gmsh import read_msh_mesh
+        return read_msh_mesh(path)
+    raise ValueError(f"Unsupported mesh format: {ext}. "
+                     "Only .msh and .vtu formats are supported.")
+
+
+def extract_cell_density(path: str) -> np.ndarray:
+    """reference: MeshImport.jl:177-215."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext != ".vtu":
+        raise ValueError("Density extraction is only supported for VTU files")
+    from .io.vtu import read_cell_density
+    return read_cell_density(path)
+
+
+def calculate_volume(mesh: Mesh,
+                     density: Optional[np.ndarray] = None) -> float:
+    """Density-weighted volume (reference: Utils.jl:24-92)."""
+    if density is None:
+        log("No density data provided, assuming uniform density of 1.0")
+        density = np.ones(mesh.n_cells)
+    density = np.asarray(density, dtype=np.float64).reshape(-1)
+    if len(density) != mesh.n_cells:
+        raise ValueError(
+            f"Density data length ({len(density)}) does not match number "
+            f"of cells ({mesh.n_cells})")
+    dmesh = mesh.device(dtype=jnp.float64)
+    vols = element_volumes(dmesh.coords[dmesh.conn], mesh.element_type)
+    total = float(jnp.sum(vols[: mesh.n_cells] * jnp.asarray(density)))
+    log(f"Total weighted mesh volume: {total} cubic units")
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Problem container
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Problem:
+    """Mutable workflow state (the reference's (dh, cellvalues, K, f) tuple,
+    FiniteElementAnalysis.jl:151-185, collapsed into one object)."""
+
+    mesh: Mesh
+    interpolation_order: int = 1
+    dtype: object = jnp.float64
+    quad_order: int = 2
+    f: np.ndarray = None                      # host-accumulated load vector
+    bcs: List[DirichletBC] = dataclasses.field(default_factory=list)
+    lam: Optional[np.ndarray] = None          # per-element or scalar
+    mu: Optional[np.ndarray] = None
+    density: Optional[np.ndarray] = None
+    material: Optional[SIMPMaterial] = None
+    mode: str = "otf"                         # operator mode: otf | stored
+
+    def __post_init__(self):
+        if self.f is None:
+            self.f = np.zeros(self.mesh.n_dofs, dtype=np.float64)
+
+    @property
+    def n_dofs(self) -> int:
+        return self.mesh.n_dofs
+
+    def build_operator(self, with_bc: bool = True) -> StiffnessOperator:
+        if self.lam is None:
+            raise RuntimeError("assemble_stiffness_matrix(...) first")
+        dmesh = self.mesh.device(dtype=self.dtype)
+        mask = None
+        if with_bc and self.bcs:
+            mask = jnp.asarray(
+                free_mask_from_bcs(self.n_dofs, self.bcs,
+                                   pad_to=dmesh.n_padded_dofs), self.dtype)
+        return StiffnessOperator.build(dmesh, self.lam, self.mu,
+                                       free_mask=mask, mode=self.mode,
+                                       order=self.quad_order)
+
+
+def setup_problem(mesh: Mesh, interpolation_order: int = 1,
+                  dtype=jnp.float64, mode: str = "otf") -> Problem:
+    """reference: FiniteElementAnalysis.jl:151-185.
+
+    ``interpolation_order=2`` on a tet4 mesh refines to tet10 (same
+    function space as the reference's quadratic Lagrange on linear
+    geometry, FiniteElementAnalysis.jl:160-168).
+    """
+    if interpolation_order == 2 and mesh.element_type == "tet4":
+        mesh = mesh.to_quadratic()
+    elif interpolation_order not in (1, 2):
+        raise ValueError("interpolation_order must be 1 or 2")
+    log(f"Setting up problem with {mesh.element_type} elements")
+    log(f"Number of DOFs: {mesh.n_dofs}")
+    return Problem(mesh=mesh, interpolation_order=interpolation_order,
+                   dtype=dtype, mode=mode)
+
+
+# ---------------------------------------------------------------------------
+# Assembly (materials onto the problem)
+# ---------------------------------------------------------------------------
+
+
+def assemble_stiffness_matrix(problem: Problem, lam: float, mu: float
+                              ) -> Problem:
+    """Uniform material (reference: FiniteElementAnalysis.jl:204-250).
+    Nothing is factorized — the operator stays matrix-free."""
+    problem.lam = np.full(problem.mesh.n_cells, lam, dtype=np.float64)
+    problem.mu = np.full(problem.mesh.n_cells, mu, dtype=np.float64)
+    log("Stiffness matrix assembled successfully")
+    return problem
+
+
+def assemble_stiffness_matrix_simp(problem: Problem,
+                                   material_model: SIMPMaterial,
+                                   density_data: np.ndarray) -> Problem:
+    """SIMP-penalized material (reference:
+    FiniteElementAnalysis.jl:654-707)."""
+    density = np.asarray(density_data, dtype=np.float64).reshape(-1)
+    if len(density) != problem.mesh.n_cells:
+        raise ValueError("density length does not match number of cells")
+    lam, mu = material_model.lame(density)
+    problem.lam = np.asarray(lam)
+    problem.mu = np.asarray(mu)
+    problem.density = density
+    problem.material = material_model
+    log("Stiffness matrix assembled successfully with variable material "
+        "properties")
+    return problem
+
+
+# ---------------------------------------------------------------------------
+# BCs and loads
+# ---------------------------------------------------------------------------
+
+
+def apply_fixed_boundary(problem: Problem, nodes) -> DirichletBC:
+    """reference: FiniteElementAnalysis.jl:314-333 (deferred application)."""
+    bc = DirichletBC.fixed(nodes)
+    problem.bcs.append(bc)
+    return bc
+
+
+def apply_sliding_boundary(problem: Problem, nodes,
+                           fixed_components: Sequence[int]) -> DirichletBC:
+    """reference: FiniteElementAnalysis.jl:356-374 (0-based components)."""
+    bc = DirichletBC.sliding(nodes, fixed_components)
+    problem.bcs.append(bc)
+    return bc
+
+
+def apply_force(problem: Problem, nodes, force_vector: Sequence[float]
+                ) -> None:
+    """Equal split of the total force over the nodes (reference:
+    FiniteElementAnalysis.jl:392-418)."""
+    nodes = np.asarray(list(nodes) if not isinstance(nodes, np.ndarray)
+                       else nodes, dtype=np.int64)
+    if nodes.size == 0:
+        raise ValueError("No nodes provided for force application.")
+    force = np.asarray(force_vector, dtype=np.float64)
+    per_node = force / nodes.size
+    dofs = dofs_of_nodes(nodes)                 # [n, 3]
+    np.add.at(problem.f, dofs.reshape(-1),
+              np.broadcast_to(per_node, (nodes.size, DIM)).reshape(-1))
+    log(f"Applied force {list(force)} distributed over {nodes.size} nodes")
+
+
+# ---------------------------------------------------------------------------
+# Solve + post-process
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """Reference tuple (u, energy, stress_field, max_von_mises,
+    max_stress_cell) plus solver telemetry (SURVEY.md §5: timing struct)."""
+
+    u: np.ndarray                  # [ndof]
+    energy: float
+    stress_qp: np.ndarray          # [C, nqp, 3, 3]
+    stress_avg: np.ndarray         # [C, 3, 3]
+    von_mises: np.ndarray          # [C]
+    max_von_mises: float
+    max_stress_cell: int
+    method: str
+    iterations: int
+    residual_norm: float
+    converged: bool
+    solve_time: float
+    history: Optional[np.ndarray] = None
+
+    # tuple-unpacking parity with the reference's 5-tuple return
+    def __iter__(self):
+        return iter((self.u, self.energy, self.stress_field,
+                     self.max_von_mises, self.max_stress_cell))
+
+    @property
+    def stress_field(self):
+        return self.stress_qp
+
+    @property
+    def displacements(self) -> np.ndarray:
+        return self.u.reshape(-1, 3)
+
+
+def _default_config() -> SolverConfig:
+    # default accuracy posture = reference's direct solve; block-Jacobi PCG
+    # at tight tolerance reproduces it to <=1e-8 relative energy
+    return SolverConfig(method="cg", preconditioner="block_diagonal",
+                        tolerance=1e-10, max_iterations=20000, verbose=False)
+
+
+def solve_system(problem: Problem,
+                 config: Optional[SolverConfig] = None) -> SolveResult:
+    """Solve K u = f with the accumulated constraints, then recover energy
+    and stresses (reference: FiniteElementAnalysis.jl:538-561, 831-862).
+
+    Handles both the uniform and SIMP paths — the material is whatever was
+    assembled onto the problem.
+    """
+    config = config or _default_config()
+    op = problem.build_operator(with_bc=True)
+    dmesh = op.dmesh
+    n = problem.n_dofs
+
+    f_dev = jnp.zeros(op.n_dofs, dtype=problem.dtype)
+    f_dev = f_dev.at[:n].set(jnp.asarray(problem.f, dtype=problem.dtype))
+    f_dev = f_dev * op.free_mask           # zero prescribed values
+
+    method = config.method
+    if method == "auto":
+        method = "direct" if n < ADAPTIVE_DOF_THRESHOLD else "cg"
+
+    log("Solving linear system...")
+    t0 = time.perf_counter()
+    history = None
+    if method == "direct":
+        mask_np = np.asarray(op.free_mask)[:n]
+        K = assemble_scipy(problem.mesh, problem.lam, problem.mu,
+                           order=problem.quad_order, free_mask=mask_np)
+        u_np = direct_solve(K, np.asarray(f_dev)[:n])
+        u = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
+            jnp.asarray(u_np, problem.dtype))
+        niter, rnorm, conv = 1, 0.0, True
+    elif method == "cg":
+        M = _build_preconditioner(op, config)
+        res = cg(op, f_dev, M=M, tol=config.tolerance,
+                 maxiter=config.max_iterations,
+                 record_history=config.history)
+        u = res.x
+        niter = int(res.niter)
+        rnorm = float(res.residual_norm)
+        conv = bool(res.converged)
+        history = (np.asarray(res.history)[: niter + 1]
+                   if res.history is not None else None)
+        if not conv:
+            print_warning(
+                f"Krylov solver did not converge after {niter} iterations "
+                f"(residual {rnorm:.3e}, target {config.tolerance:.1e})")
+    else:
+        from .fem.robust import solve_with_method
+        u, niter, rnorm, conv, history = solve_with_method(
+            op, f_dev, method, config)
+    u.block_until_ready()
+    solve_time = time.perf_counter() - t0
+
+    energy = float(op.energy(u))
+    sigma_qp, avg, vm, max_vm, max_cell = stress_summary(
+        dmesh, u, op.lam, op.mu, problem.quad_order)
+
+    log("Analysis complete")
+    log(f"Deformation energy: {energy} J")
+    log(f"Maximum von Mises stress: {float(max_vm)} at cell "
+        f"{int(max_cell)}")
+
+    C = problem.mesh.n_cells
+    return SolveResult(
+        u=np.asarray(u)[:n], energy=energy,
+        stress_qp=np.asarray(sigma_qp)[:C],
+        stress_avg=np.asarray(avg)[:C],
+        von_mises=np.asarray(vm)[:C],
+        max_von_mises=float(max_vm), max_stress_cell=int(max_cell),
+        method=method, iterations=niter, residual_norm=rnorm,
+        converged=conv, solve_time=solve_time, history=history)
+
+
+# SIMP variant shares the implementation; the material was captured at
+# assembly time (reference keeps separate solve_system_simp,
+# FiniteElementAnalysis.jl:831-862)
+solve_system_simp = solve_system
+
+
+def solve_system_adaptive(problem: Problem) -> SolveResult:
+    """Size-based direct/iterative switch (reference:
+    FiniteElementAnalysis.jl:570-598)."""
+    n = problem.n_dofs
+    if n < ADAPTIVE_DOF_THRESHOLD:
+        return solve_system(problem)
+    return solve_system(problem, adaptive_config(n))
+
+
+def _build_preconditioner(op: StiffnessOperator, config: SolverConfig):
+    name = config.preconditioner
+    if name == "none":
+        return None
+    if name == "diagonal":
+        return jacobi_preconditioner(op.diagonal())
+    # block_diagonal is the strongest device-side option; the reference's
+    # ilu/ichol rely on packages that fall back to diagonal anyway
+    # (RobustSolver.jl:239-264)
+    if name in ("block_diagonal", "ilu", "ichol"):
+        return block_jacobi_preconditioner(op.node_blocks_raw(),
+                                           op.free_mask)
+    raise ValueError(f"unknown preconditioner {name!r}")

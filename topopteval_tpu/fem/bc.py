@@ -1,0 +1,179 @@
+"""Boundary topology + node selection + Dirichlet constraints.
+
+TPU-native replacement for the reference's SelectNodesForBC module and
+ConstraintHandler workflow (reference: src/FiniteElementAnalysis/
+SelectNodesForBC.jl, FiniteElementAnalysis.jl:314-374).
+
+Surface extraction is the same algorithm — faces belonging to exactly one
+element are surface faces (SelectNodesForBC.jl:59-91) — but vectorized:
+sorted face-node tuples become rows of an integer matrix and
+``np.unique(..., return_counts)`` does the counting in one pass.  It runs
+host-side once per mesh (hash-heavy, not a hot path) and is cached on the
+Mesh instance rather than a module-global hash-keyed dict (avoiding the
+reference's stale-cache quirk, SelectNodesForBC.jl:271-303).
+
+Dirichlet constraints are a free-DOF mask (see operator.py), built from
+node selections; deferred application matches the reference's
+single-application-point contract (FiniteElementAnalysis.jl:329).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..mesh import DIM, FACE_TABLES, Mesh, dofs_of_nodes
+from ..utils.terminal import log
+
+
+# ---------------------------------------------------------------------------
+# Surface topology
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceTopology:
+    """Boundary faces + nodes of a mesh.
+
+    Equivalent of the reference's SurfaceNodeCache
+    (SelectNodesForBC.jl:30-38) plus the (cell, local_face) pairs
+    SurfaceTraction needs (SurfaceTraction.jl:45-67).
+    """
+
+    surface_nodes: np.ndarray    # sorted unique surface node ids
+    is_surface: np.ndarray       # bool [n_nodes]
+    face_cells: np.ndarray       # [F] owning cell of each surface face
+    face_local: np.ndarray       # [F] local face index within the cell
+    face_conn: np.ndarray        # [F, face_k] global node ids (corner nodes)
+
+
+def extract_surface(mesh: Mesh) -> SurfaceTopology:
+    """Faces appearing once across all cells are surface faces
+    (reference: SelectNodesForBC.jl:59-123)."""
+    faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
+    nf, fk = faces.shape
+    conn = mesh.conn.astype(np.int64)
+    face_nodes = conn[:, faces]                       # [C, nf, fk]
+    flat = face_nodes.reshape(-1, fk)
+    keys = np.sort(flat, axis=1)
+    uniq, inverse, counts = np.unique(keys, axis=0, return_inverse=True,
+                                      return_counts=True)
+    on_surface = counts[inverse] == 1                 # [C*nf]
+    idx = np.flatnonzero(on_surface)
+    face_cells = idx // nf
+    face_local = idx % nf
+    face_conn = flat[idx]
+    node_ids = np.unique(face_conn.reshape(-1))
+    is_surface = np.zeros(mesh.n_nodes, dtype=bool)
+    is_surface[node_ids] = True
+    log(f"Surface extraction complete: {node_ids.size} surface nodes out of "
+        f"{mesh.n_nodes} total nodes")
+    log(f"Surface coverage: {round(node_ids.size / mesh.n_nodes * 100, 1)}%")
+    return SurfaceTopology(node_ids, is_surface, face_cells, face_local,
+                           face_conn)
+
+
+# ---------------------------------------------------------------------------
+# Geometric node selection (reference defaults: tolerance = 1.0)
+# ---------------------------------------------------------------------------
+
+
+def select_nodes_by_plane(mesh: Mesh, point: Sequence[float],
+                          normal: Sequence[float],
+                          tolerance: float = 1.0) -> np.ndarray:
+    """Surface nodes within ``tolerance`` of the plane (point, normal).
+
+    reference: SelectNodesForBC.jl:146-188, 323-334 (default tol 1.0)
+    """
+    surf = mesh.surface()
+    point = np.asarray(point, dtype=np.float64)
+    normal = np.asarray(normal, dtype=np.float64)
+    unit = normal / np.linalg.norm(normal)
+    coords = mesh.coords[surf.surface_nodes]
+    dist = np.abs((coords - point) @ unit)
+    sel = surf.surface_nodes[dist < tolerance]
+    log(f"Selected {sel.size} surface nodes on the specified plane")
+    return sel
+
+
+def select_nodes_by_circle(mesh: Mesh, center: Sequence[float],
+                           normal: Sequence[float], radius: float,
+                           tolerance: float = 1.0) -> np.ndarray:
+    """Surface nodes on the plane and within radius + tolerance of center
+    (in-plane distance).
+
+    reference: SelectNodesForBC.jl:213-266, 356-368
+    """
+    on_plane = select_nodes_by_plane(mesh, center, normal, tolerance)
+    center = np.asarray(center, dtype=np.float64)
+    normal = np.asarray(normal, dtype=np.float64)
+    unit = normal / np.linalg.norm(normal)
+    v = mesh.coords[on_plane] - center
+    in_plane = v - np.outer(v @ unit, unit)
+    planar = np.linalg.norm(in_plane, axis=1)
+    sel = on_plane[planar <= radius + tolerance]
+    log(f"Selected {sel.size} surface nodes in the circular region")
+    return sel
+
+
+def nodes_at_plane(mesh: Mesh, axis: int, value: float,
+                   tol: float = 1e-6) -> np.ndarray:
+    """Brute-force axis-aligned node selection over ALL nodes — the
+    cross-validation helper the reference tests define locally
+    (reference: test/runtests.jl:10-18). axis is 0/1/2."""
+    return np.flatnonzero(np.abs(mesh.coords[:, axis] - value) < tol)
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet constraints → free mask
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DirichletBC:
+    """Zero-valued Dirichlet constraint on selected nodes/components.
+
+    The reference only ever prescribes zero (FiniteElementAnalysis.jl:323,
+    362), which is why the mask formulation is exact.
+    """
+
+    fixed_dofs: np.ndarray       # unique global dof ids
+
+    @staticmethod
+    def fixed(nodes: Iterable[int]) -> "DirichletBC":
+        """All three components fixed (reference:
+        FiniteElementAnalysis.jl:314-333)."""
+        nodes = np.asarray(list(nodes) if not isinstance(nodes, np.ndarray)
+                           else nodes, dtype=np.int64)
+        dofs = dofs_of_nodes(nodes).reshape(-1)
+        log(f"Defined fixed boundary conditions for {nodes.size} nodes")
+        return DirichletBC(np.unique(dofs))
+
+    @staticmethod
+    def sliding(nodes: Iterable[int],
+                fixed_components: Sequence[int]) -> "DirichletBC":
+        """Only the given components (0=x,1=y,2=z) fixed (reference:
+        FiniteElementAnalysis.jl:356-374, which is 1-based)."""
+        nodes = np.asarray(list(nodes) if not isinstance(nodes, np.ndarray)
+                           else nodes, dtype=np.int64)
+        comps = np.asarray(fixed_components, dtype=np.int64)
+        if comps.size and (comps.min() < 0 or comps.max() >= DIM):
+            raise ValueError("components must be in {0,1,2}")
+        dofs = (nodes[:, None] * DIM + comps[None, :]).reshape(-1)
+        log(f"Defined sliding boundary conditions for {nodes.size} nodes, "
+            f"fixing DOFs: {list(comps)}")
+        return DirichletBC(np.unique(dofs))
+
+
+def free_mask_from_bcs(n_dofs: int, bcs: Sequence[DirichletBC],
+                       pad_to: Optional[int] = None) -> np.ndarray:
+    """Combine constraints into the free-DOF mask (1 free / 0 fixed).
+    Padded phantom DOFs are marked fixed so they stay identically zero."""
+    n = pad_to or n_dofs
+    mask = np.zeros(n, dtype=np.float64)
+    mask[:n_dofs] = 1.0
+    for bc in bcs:
+        mask[bc.fixed_dofs] = 0.0
+    return mask

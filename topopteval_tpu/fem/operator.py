@@ -1,0 +1,228 @@
+"""Matrix-free global stiffness operator with Dirichlet masking.
+
+TPU-native replacement for the reference's assembled sparse CSC matrix +
+CHOLMOD backslash (reference: src/FiniteElementAnalysis/
+FiniteElementAnalysis.jl:181, 547): the global K never materializes.
+``A(u) = scatter(Ke_local(gather(u)))`` runs entirely in HBM, with
+Dirichlet constraints applied as a free-DOF mask:
+
+    A'(u) = m * A(m * u) + (1 - m) * u
+
+which is algebraically identical to Ferrite's symmetric ``apply!``
+condensation for zero prescribed values — the only case the reference uses
+(reference: FiniteElementAnalysis.jl:314-333, 540-542).
+
+Two application modes:
+
+- ``otf`` (default): recompute element geometry each matvec via the
+  strain→stress route (~80 B/elem HBM traffic for tet4 — bandwidth-lean,
+  the large-mesh mode).
+- ``stored``: precompute the Ke batch once and matvec it (faster for many
+  solves on a small mesh; also what the SIMP density sweep scales).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import DIM, DeviceMesh, Mesh, element_dofs
+from ..ops.elements import (apply_element_stiffness, element_stiffness,
+                            element_volumes, physical_gradients)
+from ..ops.scatter import ScatterPlan
+
+
+@dataclasses.dataclass(frozen=True)
+class StiffnessOperator:
+    """Pytree: the matrix-free K with optional BC mask."""
+
+    dmesh: DeviceMesh
+    plan: ScatterPlan
+    lam: jnp.ndarray            # [C] per-element lambda (SIMP-ready)
+    mu: jnp.ndarray             # [C] per-element mu
+    free_mask: jnp.ndarray      # [ndof] 1.0 free / 0.0 fixed
+    ke: Optional[jnp.ndarray]   # [C, ek, ek] stored-mode stiffness batch
+    order: int = dataclasses.field(metadata={"static": True})
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def build(dmesh: DeviceMesh, lam, mu,
+              free_mask: Optional[jnp.ndarray] = None,
+              mode: str = "otf", order: int = 2,
+              plan: Optional[ScatterPlan] = None) -> "StiffnessOperator":
+        C = dmesh.conn.shape[0]
+        dtype = dmesh.coords.dtype
+        lam = jnp.broadcast_to(jnp.asarray(lam, dtype), (C,))
+        mu = jnp.broadcast_to(jnp.asarray(mu, dtype), (C,))
+        if plan is None:
+            plan = ScatterPlan.build(np.asarray(dmesh.edofs),
+                                     DIM * dmesh.coords.shape[0])
+        if free_mask is None:
+            free_mask = jnp.ones((plan.n_dofs,), dtype)
+        ke = None
+        if mode == "stored":
+            coords_e = dmesh.coords[dmesh.conn]
+            ke = element_stiffness(coords_e, lam, mu, dmesh.element_type,
+                                   order)
+        return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke, order)
+
+    @property
+    def n_dofs(self) -> int:
+        return self.plan.n_dofs
+
+    def with_free_mask(self, free_mask: jnp.ndarray) -> "StiffnessOperator":
+        return dataclasses.replace(
+            self, free_mask=jnp.asarray(free_mask, self.dmesh.coords.dtype))
+
+    def with_material(self, lam, mu) -> "StiffnessOperator":
+        C = self.dmesh.conn.shape[0]
+        dtype = self.dmesh.coords.dtype
+        lam = jnp.broadcast_to(jnp.asarray(lam, dtype), (C,))
+        mu = jnp.broadcast_to(jnp.asarray(mu, dtype), (C,))
+        ke = None
+        if self.ke is not None:
+            coords_e = self.dmesh.coords[self.dmesh.conn]
+            ke = element_stiffness(coords_e, lam, mu,
+                                   self.dmesh.element_type, self.order)
+        return dataclasses.replace(self, lam=lam, mu=mu, ke=ke)
+
+    # -- application --------------------------------------------------------
+
+    def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        """K @ u without BC masking."""
+        dm = self.dmesh
+        k = dm.conn.shape[1]
+        u_e = self.plan.gather(u)                       # [C, 3k]
+        if self.ke is not None:
+            f_e = jnp.einsum("cij,cj->ci", self.ke, u_e)
+        else:
+            coords_e = dm.coords[dm.conn]
+            f_e = apply_element_stiffness(
+                coords_e, u_e.reshape(-1, k, DIM), self.lam, self.mu,
+                dm.element_type, self.order).reshape(-1, k * DIM)
+        return self.plan.scatter_add(f_e)
+
+    def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Constrained operator A'(u) = m*A(m*u) + (1-m)*u."""
+        m = self.free_mask
+        return m * self.matvec_raw(m * u) + (1.0 - m) * u
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.matvec(u)
+
+    # -- preconditioning ----------------------------------------------------
+
+    def diagonal_raw(self) -> jnp.ndarray:
+        """diag(K) without materializing Ke:
+        Ke[(i,a),(i,a)] = sum_q wdet ((lam+mu) g_ia^2 + mu |g_i|^2)."""
+        dm = self.dmesh
+        coords_e = dm.coords[dm.conn]
+        g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
+        g2 = g * g
+        norm2 = jnp.sum(g2, axis=-1, keepdims=True)     # [C,q,k,1]
+        d = jnp.einsum("cq,cqka->cka",
+                       wdet * (self.lam + self.mu)[:, None], g2) \
+            + jnp.einsum("cq,cqka->cka", wdet * self.mu[:, None],
+                         jnp.broadcast_to(norm2, g2.shape))
+        k = dm.conn.shape[1]
+        return self.plan.scatter_add(d.reshape(-1, k * DIM))
+
+    def diagonal(self) -> jnp.ndarray:
+        """diag of the constrained operator (fixed dofs get 1.0)."""
+        m = self.free_mask
+        return m * m * self.diagonal_raw() + (1.0 - m)
+
+    def node_blocks_raw(self) -> jnp.ndarray:
+        """3x3 node-diagonal blocks [n_nodes, 3, 3] for block-Jacobi:
+        block(i)_ab = sum_q wdet (lam g_a g_b + mu g_b g_a + mu d_ab |g|^2).
+        Much stronger than plain Jacobi on SIMP-contrast meshes
+        (SURVEY.md §7 hard part 3)."""
+        dm = self.dmesh
+        coords_e = dm.coords[dm.conn]
+        g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
+        outer = jnp.einsum("cq,cqka,cqkb->ckab",
+                           wdet * self.lam[:, None], g, g) \
+            + jnp.einsum("cq,cqkb,cqka->ckab", wdet * self.mu[:, None], g, g)
+        norm2 = jnp.einsum("cq,cqka,cqka->ck", wdet * self.mu[:, None], g, g)
+        eye = jnp.eye(DIM, dtype=g.dtype)
+        blocks = outer + norm2[..., None, None] * eye
+        # scatter per-node: segment over node ids
+        C, k = dm.conn.shape
+        flat = blocks.reshape(C * k, DIM * DIM)
+        seg = dm.conn.reshape(-1)
+        acc = jax.ops.segment_sum(flat, seg,
+                                  num_segments=dm.coords.shape[0])
+        return acc.reshape(-1, DIM, DIM)
+
+    # -- reductions ---------------------------------------------------------
+
+    def energy(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Deformation energy 0.5 * u^T K u (reference:
+        FiniteElementAnalysis.jl:550) with f64 accumulation."""
+        Ku = self.matvec(u)
+        return 0.5 * jnp.vdot(u.astype(jnp.float64),
+                              Ku.astype(jnp.float64))
+
+    def volume(self, weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Density-weighted mesh volume (reference: Utils.jl:24-92)."""
+        dm = self.dmesh
+        vols = element_volumes(dm.coords[dm.conn], dm.element_type,
+                               self.order)
+        w = dm.density if weights is None else weights
+        return jnp.sum(vols * w * dm.cell_mask)
+
+
+def _op_flatten(op: StiffnessOperator):
+    return ((op.dmesh, op.plan, op.lam, op.mu, op.free_mask, op.ke),
+            (op.order,))
+
+
+def _op_unflatten(aux, leaves):
+    dmesh, plan, lam, mu, free_mask, ke = leaves
+    return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke, aux[0])
+
+
+jax.tree_util.register_pytree_node(StiffnessOperator, _op_flatten,
+                                   _op_unflatten)
+
+
+# ---------------------------------------------------------------------------
+# Host-side assembled oracle (reference semantics: CSC assembly + `K \\ f`)
+# ---------------------------------------------------------------------------
+
+
+def assemble_scipy(mesh: Mesh, lam, mu, order: int = 2,
+                   free_mask: Optional[np.ndarray] = None):
+    """Assemble the global sparse K as scipy CSR in float64.
+
+    Test oracle replacing the reference's Ferrite assembler + CHOLMOD
+    (SURVEY.md §2.3) — used for golden-value energy comparisons and the
+    small-problem :direct solver path.  If ``free_mask`` is given, applies
+    the same symmetric zero-Dirichlet condensation as ``apply!``
+    (rows/cols zeroed, unit diagonal).
+    """
+    import scipy.sparse as sp
+
+    dmesh = mesh.device(dtype=jnp.float64)
+    coords_e = dmesh.coords[dmesh.conn]
+    C = mesh.n_cells
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float64), (C,))
+    mu = jnp.broadcast_to(jnp.asarray(mu, jnp.float64), (C,))
+    ke = np.asarray(element_stiffness(coords_e, lam, mu, mesh.element_type,
+                                      order))
+    edofs = element_dofs(mesh.conn)                    # [C, ek]
+    ek = edofs.shape[1]
+    rows = np.repeat(edofs, ek, axis=1).reshape(-1)
+    cols = np.tile(edofs, (1, ek)).reshape(-1)
+    K = sp.coo_matrix((ke.reshape(-1), (rows, cols)),
+                      shape=(mesh.n_dofs, mesh.n_dofs)).tocsr()
+    if free_mask is not None:
+        m = sp.diags(np.asarray(free_mask, dtype=np.float64))
+        ident_fixed = sp.diags(1.0 - np.asarray(free_mask, dtype=np.float64))
+        K = (m @ K @ m + ident_fixed).tocsr()
+    return K

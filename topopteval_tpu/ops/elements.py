@@ -163,11 +163,14 @@ def _inv3x3(J):
     B = c * h - b * i
     C = b * f - c * e
     det = a * A + d * B + g * C
+    # Safe divide: padded ghost cells (all nodes == node 0) have det == 0;
+    # they must yield finite gradients and zero wdet, staying provably inert.
+    safe = jnp.where(det == 0, jnp.ones_like(det), det)
     inv = jnp.stack([
         jnp.stack([A, B, C], axis=-1),
         jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
         jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
-    ], axis=-2) / det[..., None, None]
+    ], axis=-2) / safe[..., None, None]
     return inv, det
 
 
