@@ -1,0 +1,212 @@
+"""Krylov solver + robust-layer unit tests (reference behavior:
+RobustSolver.jl).  Dense oracles via numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopteval_tpu.config import SolverConfig
+from topopteval_tpu.fem.robust import (check_operator_properties,
+                                       estimate_memory_usage,
+                                       select_solver_method)
+from topopteval_tpu.fem.solvers import (DenseOperator, bicgstab, cg, gmres,
+                                        jacobi_preconditioner, minres)
+
+RNG = np.random.default_rng(42)
+
+
+def _spd(n=60, cond=1e3):
+    Q, _ = np.linalg.qr(RNG.standard_normal((n, n)))
+    d = np.logspace(0, np.log10(cond), n)
+    return Q @ np.diag(d) @ Q.T
+
+
+def _sym_indefinite(n=60):
+    Q, _ = np.linalg.qr(RNG.standard_normal((n, n)))
+    d = np.concatenate([np.linspace(1, 10, n // 2),
+                        -np.linspace(1, 5, n - n // 2)])
+    return Q @ np.diag(d) @ Q.T
+
+
+def _nonsym(n=40):
+    A = RNG.standard_normal((n, n)) * 0.3 + np.eye(n) * 5
+    return A
+
+
+def test_cg_solves_spd():
+    K = _spd()
+    x_true = RNG.standard_normal(K.shape[0])
+    b = K @ x_true
+    res = cg(jnp.asarray(K), jnp.asarray(b), tol=1e-12, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-7)
+
+
+def test_cg_preconditioned_converges_faster():
+    K = _spd(cond=1e5)
+    b = RNG.standard_normal(K.shape[0])
+    plain = cg(jnp.asarray(K), jnp.asarray(b), tol=1e-10, maxiter=2000)
+    M = jacobi_preconditioner(jnp.asarray(np.diag(K)))
+    pre = cg(jnp.asarray(K), jnp.asarray(b), M=M, tol=1e-10, maxiter=2000)
+    assert bool(pre.converged)
+    assert int(pre.niter) <= int(plain.niter)
+
+
+def test_cg_history_records_monotone_start():
+    K = _spd()
+    b = RNG.standard_normal(K.shape[0])
+    res = cg(jnp.asarray(K), jnp.asarray(b), tol=1e-10, maxiter=500,
+             record_history=True)
+    h = np.asarray(res.history)[: int(res.niter) + 1]
+    assert h[0] > h[-1]
+    assert h[-1] <= 1e-10 + 1e-10 * h[0]
+
+
+def test_cg_respects_maxiter():
+    K = _spd(cond=1e6)
+    b = RNG.standard_normal(K.shape[0])
+    res = cg(jnp.asarray(K), jnp.asarray(b), tol=1e-14, maxiter=3)
+    assert int(res.niter) == 3
+    assert not bool(res.converged)
+
+
+def test_minres_solves_spd_and_indefinite():
+    for K in [_spd(), _sym_indefinite()]:
+        x_true = RNG.standard_normal(K.shape[0])
+        b = K @ x_true
+        res = minres(jnp.asarray(K), jnp.asarray(b), tol=1e-12, maxiter=800)
+        assert bool(res.converged), f"minres failed, rnorm={res.residual_norm}"
+        np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                                   atol=1e-8)
+
+
+def test_minres_preconditioned():
+    K = _spd(cond=1e4)
+    b = RNG.standard_normal(K.shape[0])
+    M = jacobi_preconditioner(jnp.asarray(np.diag(K)))
+    res = minres(jnp.asarray(K), jnp.asarray(b), M=M, tol=1e-10,
+                 maxiter=800)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(K, b),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_bicgstab_solves_nonsymmetric():
+    A = _nonsym()
+    x_true = RNG.standard_normal(A.shape[0])
+    b = A @ x_true
+    res = bicgstab(jnp.asarray(A), jnp.asarray(b), tol=1e-12, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6)
+
+
+def test_gmres_solves_nonsymmetric():
+    A = _nonsym()
+    x_true = RNG.standard_normal(A.shape[0])
+    b = A @ x_true
+    res = gmres(jnp.asarray(A), jnp.asarray(b), tol=1e-10, maxiter=500,
+                restart=30)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Robust layer
+# ---------------------------------------------------------------------------
+
+
+def test_memory_estimates_fill_factors():
+    small = estimate_memory_usage(10_000, 500_000)
+    assert small["direct"] == pytest.approx(small["matrix_only"] * 6)
+    mid = estimate_memory_usage(200_000, 5_000_000)
+    assert mid["direct"] == pytest.approx(mid["matrix_only"] * 21)
+    big = estimate_memory_usage(600_000, 20_000_000)
+    assert big["direct"] == pytest.approx(big["matrix_only"] * 31)
+    assert small["gmres"] > small["cg"]
+
+
+def _beam_operator():
+    from topopteval_tpu.api import (apply_fixed_boundary,
+                                    assemble_stiffness_matrix,
+                                    setup_problem)
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.materials import create_material_model
+    from topopteval_tpu.models.beams import generate_grid_tet
+    mesh = generate_grid_tet(4, 2, 2)
+    p = setup_problem(mesh)
+    assemble_stiffness_matrix(p, *create_material_model(1.0, 0.3))
+    apply_fixed_boundary(p, nodes_at_plane(mesh, 0, 0.0))
+    return p.build_operator(with_bc=True)
+
+
+def test_operator_properties_spd():
+    op = _beam_operator()
+    props = check_operator_properties(op)
+    assert props.symmetric
+    assert props.positive_definite
+
+
+def test_auto_select_small_spd_is_direct_then_cg():
+    op = _beam_operator()
+    cfg = SolverConfig(method="auto", verbose=False)
+    assert select_solver_method(op, cfg) == "direct"     # tiny problem
+    cfg2 = SolverConfig(method="auto", memory_limit=1e-9, verbose=False)
+    assert select_solver_method(op, cfg2) == "cg"        # no direct memory
+
+
+def test_explicit_method_respected():
+    op = _beam_operator()
+    cfg = SolverConfig(method="minres", verbose=False)
+    assert select_solver_method(op, cfg) == "minres"
+
+
+def test_solver_methods_agree_on_fem_problem():
+    """cg / minres / bicgstab / gmres all solve the same cantilever."""
+    from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                    assemble_stiffness_matrix,
+                                    setup_problem, solve_system)
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.materials import create_material_model
+    from topopteval_tpu.models.beams import generate_grid_tet
+
+    mesh = generate_grid_tet(4, 2, 2, (0, 0, 0), (4, 1, 1))
+    p = setup_problem(mesh)
+    assemble_stiffness_matrix(p, *create_material_model(1.0, 0.3))
+    apply_fixed_boundary(p, nodes_at_plane(mesh, 0, 0.0))
+    apply_force(p, nodes_at_plane(mesh, 0, 4.0), [0, 0, -1.0])
+
+    e_ref = solve_system(p, SolverConfig(method="direct",
+                                         verbose=False)).energy
+    for method in ["cg", "minres", "bicgstab", "gmres"]:
+        r = solve_system(p, SolverConfig(
+            method=method, preconditioner="diagonal", tolerance=1e-12,
+            max_iterations=5000, verbose=False))
+        assert abs(r.energy - e_ref) / e_ref < 1e-7, \
+            f"{method}: energy {r.energy} vs {e_ref}"
+
+
+def test_robust_entry_and_verbose(capsys):
+    from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                    assemble_stiffness_matrix,
+                                    setup_problem, solve_system_robust)
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.materials import create_material_model
+    from topopteval_tpu.models.beams import generate_grid_tet
+    from topopteval_tpu.utils import set_verbosity
+
+    mesh = generate_grid_tet(3, 2, 2)
+    p = setup_problem(mesh)
+    assemble_stiffness_matrix(p, *create_material_model(1.0, 0.3))
+    apply_fixed_boundary(p, nodes_at_plane(mesh, 0, 0.0))
+    apply_force(p, nodes_at_plane(mesh, 0, 1.0), [0, 0, -1.0])
+
+    set_verbosity(True)
+    try:
+        r = solve_system_robust(p, SolverConfig(method="auto", verbose=True,
+                                                history=True))
+    finally:
+        set_verbosity(False)
+    out = capsys.readouterr().out
+    assert r.energy > 0
+    assert "PRE-SOLVE DIAGNOSTICS" in out
+    assert "FINAL ANALYSIS RESULTS" in out

@@ -295,15 +295,20 @@ def solve_system(problem: Problem,
     log("Solving linear system...")
     t0 = time.perf_counter()
     history = None
-    if method == "direct":
+
+    def _host_direct():
         mask_np = np.asarray(op.free_mask)[:n]
         K = assemble_scipy(problem.mesh, problem.lam, problem.mu,
                            order=problem.quad_order, free_mask=mask_np)
         u_np = direct_solve(K, np.asarray(f_dev)[:n])
-        u = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
+        return jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
             jnp.asarray(u_np, problem.dtype))
+
+    if method == "direct":
+        u = _host_direct()
         niter, rnorm, conv = 1, 0.0, True
-    elif method == "cg":
+    elif method == "cg" and not config.verbose:
+        # fast path: plain PCG without the robust ladder's bookkeeping
         M = _build_preconditioner(op, config)
         res = cg(op, f_dev, M=M, tol=config.tolerance,
                  maxiter=config.max_iterations,
@@ -319,9 +324,13 @@ def solve_system(problem: Problem,
                 f"Krylov solver did not converge after {niter} iterations "
                 f"(residual {rnorm:.3e}, target {config.tolerance:.1e})")
     else:
-        from .fem.robust import solve_with_method
-        u, niter, rnorm, conv, history = solve_with_method(
-            op, f_dev, method, config)
+        from .fem.robust import _DirectFallback, solve_with_krylov
+        try:
+            u, niter, rnorm, conv, history, method = solve_with_krylov(
+                op, f_dev, method, config)
+        except _DirectFallback:
+            u = _host_direct()
+            niter, rnorm, conv, method = 1, 0.0, True, "direct(fallback)"
     u.block_until_ready()
     solve_time = time.perf_counter() - t0
 
@@ -357,7 +366,43 @@ def solve_system_adaptive(problem: Problem) -> SolveResult:
     n = problem.n_dofs
     if n < ADAPTIVE_DOF_THRESHOLD:
         return solve_system(problem)
-    return solve_system(problem, adaptive_config(n))
+    return solve_system_robust(problem, adaptive_config(n))
+
+
+def solve_system_robust(problem: Problem,
+                        config: Optional[SolverConfig] = None
+                        ) -> SolveResult:
+    """Robust solve: property probe → method auto-select → pre-solve
+    diagnostics → Krylov with fallback ladder (reference:
+    RobustSolver.jl:530-621).  Works for uniform and SIMP materials alike
+    (the reference's solve_system_robust_simp, RobustSolver.jl:645-734, is
+    the same flow with the assembled SIMP material)."""
+    from .fem.robust import (check_operator_properties,
+                             print_presolve_diagnostics,
+                             select_solver_method)
+    config = config or SolverConfig()
+    op = problem.build_operator(with_bc=True)
+    props = check_operator_properties(op)
+    method = select_solver_method(op, config, props)
+    print_presolve_diagnostics(op, config, method,
+                               simp=problem.material is not None)
+    result = solve_system(problem, dataclasses.replace(config,
+                                                       method=method))
+    if config.verbose:
+        log(f"\nSolve time: {result.solve_time:.2f} seconds")
+        log(f"Solution vector norm: {np.linalg.norm(result.u)}")
+        log("\n" + "=" * 60)
+        tag = " (SIMP)" if problem.material is not None else ""
+        log(f"FINAL ANALYSIS RESULTS{tag}")
+        log("=" * 60)
+        log(f"Deformation energy: {result.energy:.6f} J")
+        log(f"Maximum von Mises stress: {result.max_von_mises:.2f} Pa")
+        log(f"Max stress location: cell {result.max_stress_cell}")
+        log("=" * 60)
+    return result
+
+
+solve_system_robust_simp = solve_system_robust
 
 
 def _build_preconditioner(op: StiffnessOperator, config: SolverConfig):

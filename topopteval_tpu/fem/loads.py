@@ -1,0 +1,198 @@
+"""Volume forces (gravity/acceleration) and surface tractions.
+
+TPU-native replacement for the reference's VolumeForce and SurfaceTraction
+modules (reference: src/FiniteElementAnalysis/VolumeForce.jl:1-243,
+src/FiniteElementAnalysis/SurfaceTraction.jl:1-288).  The per-cell
+quadrature loops become batched einsums over shape-value tables; loads
+accumulate into the host-side problem load vector (setup is host I/O,
+solve is device compute).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import DIM, FACE_TABLES, Mesh, element_dofs
+from ..ops.elements import element_tables, physical_gradients
+from ..ops.facets import facet_geometry
+from ..utils.terminal import log
+from .bc import DirichletBC  # noqa: F401  (re-export convenience)
+
+
+def _cell_quadrature(mesh: Mesh, order: int = 2
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """(N [q,k], wdet [C,q]) for the whole mesh (host numpy)."""
+    N, _, _ = element_tables(mesh.element_type, order)
+    dmesh = mesh.device(dtype=jnp.float64)
+    _, wdet = physical_gradients(dmesh.coords[dmesh.conn],
+                                 mesh.element_type, order)
+    return N, np.asarray(wdet)[: mesh.n_cells]
+
+
+def _scatter_nodal(problem, contrib_nodes: np.ndarray, conn: np.ndarray
+                   ) -> None:
+    """contrib_nodes [C, k, 3] += into problem.f at node dofs."""
+    dofs = element_dofs(conn)                             # [C, 3k]
+    np.add.at(problem.f, dofs.reshape(-1), contrib_nodes.reshape(-1))
+
+
+def apply_volume_force(problem, body_force_vector: Sequence[float],
+                       density: float = 1.0, order: int = 2) -> None:
+    """Body force integration f_i += b[c] * N_i * dOmega.
+
+    Note the reference divides by ``density`` then multiplies it back, so
+    the net applied load is exactly ``body_force_vector`` per unit volume
+    regardless of the density argument (reference: VolumeForce.jl:26-94) —
+    reproduced faithfully here.
+    """
+    mesh = problem.mesh
+    b = np.asarray(body_force_vector, dtype=np.float64)
+    N, wdet = _cell_quadrature(mesh, order)
+    # nodal weights [C,k] = sum_q N[q,k] wdet[c,q]; outer with b → [C,k,3]
+    nodal_w = np.einsum("qk,cq->ck", N, wdet)
+    contrib = nodal_w[:, :, None] * b[None, None, :]
+    _scatter_nodal(problem, contrib, mesh.conn)
+    total_force = contrib.sum(axis=(0, 1))
+    total_volume = wdet.sum()
+    log(f"Applied volume force: {list(b)} N/m³")
+    log(f"Total force applied: {list(total_force)} N")
+    log(f"Total volume: {total_volume} m³")
+    log(f"Average force density: {list(total_force / total_volume)} N/m³")
+
+
+def apply_gravity(problem, density: float = 1.0, g: float = 9.81,
+                  direction: Sequence[float] = (0.0, 0.0, -1.0)) -> None:
+    """Gravity as a volume force (reference: VolumeForce.jl:112-132)."""
+    d = np.asarray(direction, dtype=np.float64)
+    unit = d / np.linalg.norm(d)
+    log(f"Applying gravity: g = {g} m/s², direction = {list(unit)}, "
+        f"density = {density} kg/m³")
+    apply_volume_force(problem, density * g * unit, 1.0)
+
+
+def apply_acceleration(problem, acceleration_vector: Sequence[float],
+                       density: float = 1.0) -> None:
+    """Uniform acceleration field (reference: VolumeForce.jl:149-159)."""
+    a = np.asarray(acceleration_vector, dtype=np.float64)
+    log(f"Applying acceleration: a = {list(a)} m/s², density = {density}")
+    apply_volume_force(problem, density * a, 1.0)
+
+
+def apply_variable_density_volume_force(problem,
+                                        body_force_vector: Sequence[float],
+                                        density_data: np.ndarray,
+                                        order: int = 2,
+                                        void_threshold: float = 1e-6
+                                        ) -> None:
+    """Per-cell density-weighted body force; cells with rho < 1e-6 are
+    skipped (reference: VolumeForce.jl:176-243, skip at :199-201)."""
+    mesh = problem.mesh
+    rho = np.asarray(density_data, dtype=np.float64).reshape(-1)
+    if len(rho) != mesh.n_cells:
+        raise ValueError("density length does not match number of cells")
+    b = np.asarray(body_force_vector, dtype=np.float64)
+    N, wdet = _cell_quadrature(mesh, order)
+    rho_eff = np.where(rho < void_threshold, 0.0, rho)
+    nodal_w = np.einsum("qk,cq,c->ck", N, wdet, rho_eff)
+    contrib = nodal_w[:, :, None] * b[None, None, :]
+    _scatter_nodal(problem, contrib, mesh.conn)
+    log("Applied variable density volume force")
+    log(f"Total force applied: {list(contrib.sum(axis=(0, 1)))} N")
+
+
+# ---------------------------------------------------------------------------
+# Surface traction (reference: SurfaceTraction.jl)
+# ---------------------------------------------------------------------------
+
+
+def get_boundary_facets(mesh: Mesh, nodes) -> np.ndarray:
+    """(cell, local_face) pairs whose face nodes are ALL in ``nodes``
+    (reference: SurfaceTraction.jl:45-67 — scans every cell face, not just
+    surface faces, reproduced here).
+
+    Returns an int array [M, 2].
+    """
+    node_arr = np.asarray(list(nodes) if not isinstance(nodes, np.ndarray)
+                          else nodes, dtype=np.int64)
+    member = np.zeros(mesh.n_nodes, dtype=bool)
+    member[node_arr] = True
+    faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
+    face_nodes = mesh.conn[:, faces]                  # [C, nf, fk]
+    all_in = member[face_nodes].all(axis=2)           # [C, nf]
+    cell_ids, local_ids = np.nonzero(all_in)
+    out = np.stack([cell_ids, local_ids], axis=1)
+    log(f"Found {len(out)} boundary facets")
+    return out
+
+
+def _facet_coords(mesh: Mesh, boundary_facets: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """(face global node ids [M,fk], their coordinates [M,fk,3])."""
+    faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
+    bf = np.asarray(boundary_facets, dtype=np.int64).reshape(-1, 2)
+    gnodes = mesh.conn[bf[:, 0][:, None], faces[bf[:, 1]]]
+    return gnodes, mesh.coords[gnodes]
+
+
+def compute_boundary_area(mesh: Mesh, boundary_facets: np.ndarray) -> float:
+    """Total facet area via Gauss quadrature (reference:
+    SurfaceTraction.jl:94-125)."""
+    if len(boundary_facets) == 0:
+        return 0.0
+    _, coords = _facet_coords(mesh, boundary_facets)
+    _, dGamma, _ = facet_geometry(coords)
+    return float(dGamma.sum())
+
+
+def apply_surface_traction(problem, boundary_facets: np.ndarray,
+                           traction_function: Callable) -> None:
+    """Position-dependent traction: f_i += (N_i · t(x)) dGamma
+    (reference: SurfaceTraction.jl:165-235).
+
+    ``traction_function(x, y, z) -> [tx, ty, tz]``; it is also applied
+    vectorized if it broadcasts over arrays.
+    """
+    mesh = problem.mesh
+    gnodes, coords = _facet_coords(mesh, boundary_facets)
+    N, dGamma, xq = facet_geometry(coords)            # [q,fk],[F,q],[F,q,3]
+    # evaluate traction at every facet quadrature point
+    try:  # vectorized path
+        t = np.asarray(traction_function(xq[..., 0], xq[..., 1], xq[..., 2]),
+                       dtype=np.float64)
+        if t.shape == (3,):
+            t = np.broadcast_to(t, (*xq.shape[:2], 3)).copy()
+        elif t.shape != (*xq.shape[:2], 3):
+            t = np.moveaxis(t, 0, -1)
+    except Exception:  # pointwise fallback
+        t = np.array([[traction_function(*p) for p in fq] for fq in xq],
+                     dtype=np.float64)
+    # fe[f,k,comp] = sum_q N[q,k] t[f,q,comp] dGamma[f,q]
+    fe = np.einsum("qk,fqc,fq->fkc", N, t, dGamma)
+    dofs = (gnodes[:, :, None] * DIM
+            + np.arange(DIM, dtype=np.int64)).reshape(len(gnodes), -1)
+    np.add.at(problem.f, dofs.reshape(-1), fe.reshape(-1))
+    total_force = np.einsum("fqc,fq->c", t, dGamma)
+    log(f"Applied surface traction over {len(boundary_facets)} facets")
+    log(f"  Total boundary area: {round(float(dGamma.sum()), 6)}")
+    log(f"  Total applied force: {[round(float(v), 6) for v in total_force]}")
+
+
+def apply_uniform_surface_traction(problem, boundary_facets: np.ndarray,
+                                   total_force_vector: Sequence[float]
+                                   ) -> None:
+    """Uniform traction t = F_total / A (reference:
+    SurfaceTraction.jl:261-287, zero-area guard at :272-274)."""
+    mesh = problem.mesh
+    area = compute_boundary_area(mesh, boundary_facets)
+    if area < 1e-12:
+        raise ValueError(
+            "Boundary area is effectively zero. Check facet selection.")
+    traction = np.asarray(total_force_vector, dtype=np.float64) / area
+    log("Uniform surface traction:")
+    log(f"  Boundary area: {round(area, 6)}")
+    log(f"  Traction magnitude: {round(float(np.linalg.norm(traction)), 6)}")
+    apply_surface_traction(problem, boundary_facets,
+                           lambda x, y, z: traction)

@@ -1,34 +1,247 @@
-"""Robust-solver layer: auto method selection, fallbacks, diagnostics.
+"""Robust-solver layer: diagnostics, auto method selection, fallbacks.
 
 TPU-native equivalent of the reference's RobustSolver module
-(reference: src/FiniteElementAnalysis/RobustSolver.jl).  Filled out in
-stages; see fem/solvers.py for the Krylov iterations themselves.
+(reference: src/FiniteElementAnalysis/RobustSolver.jl):
+
+- memory estimates with the reference's fill-in factors (:72-101)
+- operator property probe: randomized symmetry check + positive-diagonal
+  SPD heuristic (matrix-free analog of :133-188)
+- auto method selection by size/memory/properties (:196-216)
+- 3-level fallback ladder: chosen method → unpreconditioned CG at 10x
+  tolerance → host direct solve if n < 100,000 (:382-417)
+- verbose telemetry: pre-solve diagnostics, residual history every 50
+  iterations, true-residual verification, convergence verdict with
+  actionable advice (:419-504)
 """
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ..config import SolverConfig
+from ..config import DIRECT_LAST_RESORT_DOFS, SolverConfig
+from ..utils.terminal import log, print_warning
+from .solvers import (bicgstab, cg, gmres, jacobi_preconditioner, minres)
 
 
-def solve_with_method(op, f, method: str, config: SolverConfig):
-    """Dispatch to a Krylov method; returns (u, niter, rnorm, conv, hist)."""
-    from .solvers import cg, minres, bicgstab, gmres
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+
+
+def estimate_memory_usage(n: int, nnz: int) -> Dict[str, float]:
+    """GB estimates per method with the reference's conservative fill-in
+    factors (reference: RobustSolver.jl:72-101)."""
+    matrix_memory = (nnz * 8 + n * 8) / 1e9
+    vector_memory = n * 8 / 1e9
+    if n > 500_000:
+        fill = min(50.0, n / 20_000)
+    elif n > 100_000:
+        fill = min(20.0, n / 10_000)
+    else:
+        fill = 5.0
+    return {
+        "direct": matrix_memory * (1 + fill),
+        "cg": matrix_memory + 6 * vector_memory,
+        "gmres": matrix_memory + 35 * vector_memory,
+        "matrix_only": matrix_memory,
+    }
+
+
+def operator_nnz_estimate(op) -> int:
+    """Upper bound on assembled nnz: sum of element-matrix entries."""
+    C, k = op.dmesh.conn.shape
+    return C * (3 * k) ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatorProperties:
+    symmetric: bool
+    positive_definite: bool
+
+
+def check_operator_properties(op, n_probes: int = 3,
+                              seed: int = 0) -> OperatorProperties:
+    """Matrix-free analog of the reference's sampled symmetry check + full
+    positive-diagonal scan (reference: RobustSolver.jl:133-188): randomized
+    probes test |x'Ay - y'Ax| and the extracted diagonal tests positivity.
+    """
+    n = op.n_dofs
+    key = jax.random.PRNGKey(seed)
+    dtype = op.free_mask.dtype
+    sym = True
+    for i in range(n_probes):
+        key, k1, k2 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (n,), dtype)
+        y = jax.random.normal(k2, (n,), dtype)
+        xa = float(jnp.vdot(x, op.matvec(y)))
+        ya = float(jnp.vdot(y, op.matvec(x)))
+        scale = max(abs(xa), abs(ya), 1e-30)
+        if abs(xa - ya) / scale > 1e-8:
+            sym = False
+            break
+    diag = op.diagonal()
+    pd = bool(jnp.all(diag > 0))
+    return OperatorProperties(symmetric=sym, positive_definite=pd)
+
+
+def select_solver_method(op, config: SolverConfig,
+                         props: Optional[OperatorProperties] = None) -> str:
+    """Auto method selection (reference: RobustSolver.jl:196-216)."""
+    if config.method != "auto":
+        return config.method
+    n = op.n_dofs
+    mem = estimate_memory_usage(n, operator_nnz_estimate(op))
+    props = props or check_operator_properties(op)
+    if n < 50_000 and mem["direct"] < config.memory_limit * 0.5:
+        return "direct"
+    if props.symmetric and props.positive_definite:
+        return "cg"
+    if props.symmetric:
+        return "minres"
+    return "gmres" if mem["gmres"] < config.memory_limit else "bicgstab"
+
+
+def print_presolve_diagnostics(op, config: SolverConfig, method: str,
+                               simp: bool = False) -> None:
+    """reference: RobustSolver.jl:552-580."""
+    if not config.verbose:
+        return
+    n = op.n_dofs
+    mem = estimate_memory_usage(n, operator_nnz_estimate(op))
+    tag = " (SIMP)" if simp else ""
+    log("\n" + "=" * 60)
+    log(f"PRE-SOLVE DIAGNOSTICS{tag}")
+    log("=" * 60)
+    log("Memory estimates:")
+    log(f"  Matrix storage: {mem['matrix_only']:.2f} GB")
+    log(f"  Direct solver: {mem['direct']:.2f} GB")
+    log(f"  CG solver: {mem['cg']:.2f} GB")
+    log(f"  GMRES solver: {mem['gmres']:.2f} GB")
+    log(f"Selected method: {method.upper()}")
+
+
+def print_convergence_report(config: SolverConfig, method: str, niter: int,
+                             rnorm: float, converged: bool,
+                             history: Optional[np.ndarray]) -> None:
+    """Residual history every 50 iterations + verdict + advice
+    (reference: RobustSolver.jl:419-504)."""
+    if not config.verbose:
+        return
+    log("-" * 60)
+    log("SOLVER RESULTS")
+    log("-" * 60)
+    log(f"Iterations completed: {niter}")
+    if history is not None and len(history) > 1:
+        log("\nConvergence history (every 50th iteration):")
+        for i in range(0, len(history), 50):
+            log(f"  Iteration {i:5d}: residual = {history[i]:.6e}")
+        if (len(history) - 1) % 50 != 0:
+            log(f"  Iteration {len(history) - 1:5d}: residual = "
+                f"{history[-1]:.6e}")
+    log(f"\nStatus: {'✓ CONVERGED' if converged else '✗ NOT CONVERGED'}")
+    log(f"Final residual: {rnorm}")
+    log(f"Target tolerance: {config.tolerance}")
+    if not converged:
+        print_warning(
+            f"Krylov solver did not converge after {niter} iterations.\n"
+            f"Final residual: {rnorm}\n"
+            f"Target tolerance: {config.tolerance}\n"
+            "Suggestions:\n"
+            f"1. Increase max_iterations (current: {config.max_iterations})\n"
+            f"2. Relax tolerance (try {config.tolerance * 100})\n"
+            f"3. Try different preconditioner (current: "
+            f"{config.preconditioner})\n"
+            f"4. Try different method (current: {method}, try cg or "
+            "bicgstab)\n"
+            "5. Check matrix conditioning\n"
+            "6. Verify boundary conditions are properly applied")
+
+
+# ---------------------------------------------------------------------------
+# Krylov dispatch + fallback ladder
+# ---------------------------------------------------------------------------
+
+
+def solve_with_method(op, f, method: str, config: SolverConfig
+                      ) -> Tuple[jnp.ndarray, int, float, bool,
+                                 Optional[np.ndarray]]:
+    """Dispatch one Krylov method; returns (u, niter, rnorm, conv, hist)."""
     from ..api import _build_preconditioner
     M = _build_preconditioner(op, config)
-    fn = {"cg": cg, "minres": minres, "bicgstab": bicgstab}.get(method)
-    if fn is not None:
-        res = fn(op, f, M=M, tol=config.tolerance,
-                 maxiter=config.max_iterations,
-                 record_history=config.history)
+    common = dict(M=M, tol=config.tolerance, maxiter=config.max_iterations,
+                  record_history=config.history)
+    if method == "cg":
+        res = cg(op, f, **common)
+    elif method == "minres":
+        res = minres(op, f, **common)
+    elif method == "bicgstab":
+        res = bicgstab(op, f, **common)
     elif method == "gmres":
         res = gmres(op, f, M=M, tol=config.tolerance,
-                    maxiter=config.max_iterations, restart=config.restart,
-                    record_history=config.history)
+                    maxiter=config.max_iterations, restart=config.restart)
     else:
         raise ValueError(f"Unknown Krylov method: {method}")
-    hist = (np.asarray(res.history)[: int(res.niter) + 1]
+    hist = (np.asarray(res.history)[: max(int(res.niter), 0) + 1]
             if res.history is not None else None)
     return (res.x, int(res.niter), float(res.residual_norm),
             bool(res.converged), hist)
+
+
+def solve_with_krylov(op, f, method: str, config: SolverConfig
+                      ) -> Tuple[jnp.ndarray, int, float, bool,
+                                 Optional[np.ndarray], str]:
+    """Krylov solve with the reference's 3-level fallback ladder
+    (reference: RobustSolver.jl:382-417).  Returns
+    (u, niter, rnorm, converged, history, method_used)."""
+    if config.verbose:
+        log("\n" + "=" * 60)
+        log("KRYLOV SOLVER DETAILS")
+        log("=" * 60)
+        log(f"Method: {method.upper()}")
+        log(f"Matrix size: {op.n_dofs} × {op.n_dofs}")
+        log(f"Preconditioner: {config.preconditioner}")
+        log(f"Target tolerance: {config.tolerance}")
+        log(f"Max iterations: {config.max_iterations}")
+        if method == "gmres":
+            log(f"GMRES restart: {config.restart}")
+
+    try:
+        u, niter, rnorm, conv, hist = solve_with_method(op, f, method,
+                                                        config)
+        if conv or method == "cg":
+            print_convergence_report(config, method, niter, rnorm, conv,
+                                     hist)
+            if conv:
+                return u, niter, rnorm, conv, hist, method
+        raise RuntimeError(
+            f"{method} did not converge (residual {rnorm:.3e})")
+    except Exception as e:  # fallback 1: plain CG at relaxed tolerance
+        if config.verbose:
+            print_warning(f"Primary Krylov method {method} failed: {e}")
+            log("Attempting fallback to simple CG...")
+        fb = dataclasses.replace(config, method="cg", preconditioner="none",
+                                 tolerance=config.tolerance * 10)
+        u, niter, rnorm, conv, hist = solve_with_method(op, f, "cg", fb)
+        if conv:
+            if config.verbose:
+                log("Fallback CG solver succeeded!")
+            print_convergence_report(fb, "cg", niter, rnorm, conv, hist)
+            return u, niter, rnorm, conv, hist, "cg(fallback)"
+        # fallback 2: host direct solve for modest sizes
+        if op.n_dofs < DIRECT_LAST_RESORT_DOFS:
+            print_warning("Attempting direct solve as last resort...")
+            from .operator import assemble_scipy  # noqa: F401
+            from .solvers import direct_solve
+            raise _DirectFallback()
+        print_convergence_report(config, method, niter, rnorm, conv, hist)
+        return u, niter, rnorm, conv, hist, method
+
+
+class _DirectFallback(Exception):
+    """Signal to the API layer that the ladder bottomed out into the host
+    direct solve (it owns the mesh needed to assemble)."""

@@ -182,3 +182,192 @@ def block_jacobi_preconditioner(blocks: jnp.ndarray,
     det = jnp.linalg.det(bm)
     bm = jnp.where((jnp.abs(det) < 1e-300)[:, None, None], eye, bm)
     return jnp.linalg.inv(bm)
+
+
+# ---------------------------------------------------------------------------
+# MINRES — symmetric (possibly indefinite) systems
+# (reference dispatches :minres for symmetric-indefinite matrices,
+#  RobustSolver.jl:210-211, 340-345)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("maxiter", "record_history",
+                                   "precise_dots"))
+def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
+    """Paige–Saunders MINRES with optional SPD preconditioning (textbook
+    Lanczos + Givens recurrence)."""
+    dtype = b.dtype
+    r1 = b - A.matvec(x0)
+    y = apply_preconditioner(M, r1)
+    beta1 = jnp.sqrt(jnp.maximum(_dot(r1, y, precise_dots).real, 0.0))
+    eps0 = tol + tol * beta1
+    hist0 = (jnp.zeros(maxiter + 1, dtype=jnp.float64)
+             .at[0].set(beta1.astype(jnp.float64))
+             if record_history else jnp.zeros(0, dtype=jnp.float64))
+
+    zero = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, jnp.float64)
+
+    # carry: x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
+    #        it, rnorm, hist
+    def cond(st):
+        it, rnorm = st[13], st[14]
+        return jnp.logical_and(it < maxiter, rnorm > eps0)
+
+    def body(st):
+        (x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
+         it, _, hist) = st
+        s = 1.0 / beta
+        v = (s * y.astype(jnp.float64)).astype(dtype)
+        yv = A.matvec(v)
+        yv = jnp.where(it >= 1, yv - (beta / oldb).astype(dtype) * r1, yv)
+        alfa = _dot(v, yv, precise_dots).real
+        yv = yv - (alfa / beta).astype(dtype) * r2
+        r1n, r2n = r2, yv
+        yn = apply_preconditioner(M, r2n)
+        oldb_n = beta
+        beta_n = jnp.sqrt(jnp.maximum(_dot(r2n, yn, precise_dots).real, 0.0))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * beta_n
+        dbar_n = -cs * beta_n
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta_n * beta_n), 1e-300)
+        cs_n = gbar / gamma
+        sn_n = beta_n / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1 = w2
+        w2n = w
+        wn = ((v.astype(jnp.float64)
+               - oldeps * w1.astype(jnp.float64)
+               - delta * w2n.astype(jnp.float64)) / gamma).astype(dtype)
+        xn = x + phi.astype(dtype) * wn
+        it = it + 1
+        if record_history:
+            hist = hist.at[it].set(phibar_n.astype(jnp.float64))
+        return (xn, r1n, r2n, yn, wn, w2n, oldb_n, beta_n, dbar_n, epsln_n,
+                phibar_n, cs_n, sn_n, it, phibar_n, hist)
+
+    st0 = (x0, r1, r1, y, zero, zero, one * 0.0, beta1,
+           jnp.asarray(0.0, jnp.float64), jnp.asarray(0.0, jnp.float64),
+           beta1, jnp.asarray(-1.0, jnp.float64),
+           jnp.asarray(0.0, jnp.float64), jnp.int32(0), beta1, hist0)
+    st = jax.lax.while_loop(cond, body, st0)
+    x, it, hist = st[0], st[13], st[15]
+    # report the true residual (the reference verifies ‖Ku−f‖,
+    # RobustSolver.jl:469)
+    rtrue = b - A.matvec(x)
+    rnorm = jnp.sqrt(_dot(rtrue, rtrue, precise_dots)).real
+    return x, it, rnorm, st[14] <= eps0, hist
+
+
+def minres(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
+           record_history: bool = False, precise_dots: bool = True
+           ) -> KrylovResult:
+    """MINRES for symmetric (indefinite) operators; preconditioner must be
+    SPD (ours are)."""
+    A = _wrap_operator(A)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x, it, rnorm, conv, hist = _minres_impl(
+        A, b, x0, jnp.asarray(tol, jnp.float64), M, int(maxiter),
+        bool(record_history), bool(precise_dots))
+    return KrylovResult(x, it, rnorm, conv,
+                        hist if record_history else None)
+
+
+# ---------------------------------------------------------------------------
+# BiCGSTAB — general matrices, memory-lean
+# (reference: RobustSolver.jl:370-376; preset :780-788)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("maxiter", "record_history",
+                                   "precise_dots"))
+def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
+    """van der Vorst BiCGSTAB with right preconditioning."""
+    dtype = b.dtype
+    r = b - A.matvec(x0)
+    rhat = r
+    rnorm0 = jnp.sqrt(_dot(r, r, precise_dots)).real
+    eps0 = tol + tol * rnorm0
+    zero = jnp.zeros_like(b)
+    hist0 = (jnp.zeros(maxiter + 1, dtype=jnp.float64)
+             .at[0].set(rnorm0.astype(jnp.float64))
+             if record_history else jnp.zeros(0, dtype=jnp.float64))
+    one64 = jnp.asarray(1.0, jnp.float64)
+
+    def cond(st):
+        it, rnorm = st[7], st[8]
+        return jnp.logical_and(it < maxiter, rnorm > eps0)
+
+    def body(st):
+        x, r, p, v, rho, alpha, omega, it, _, hist = st
+        rho_n = _dot(rhat, r, precise_dots)
+        beta = (rho_n / jnp.where(rho == 0, 1.0, rho)) \
+            * (alpha / jnp.where(omega == 0, 1.0, omega))
+        p = r + beta.astype(dtype) * (p - omega.astype(dtype) * v)
+        phat = apply_preconditioner(M, p)
+        v_n = A.matvec(phat)
+        denom = _dot(rhat, v_n, precise_dots)
+        alpha_n = rho_n / jnp.where(denom == 0, 1.0, denom)
+        s = r - alpha_n.astype(dtype) * v_n
+        shat = apply_preconditioner(M, s)
+        t = A.matvec(shat)
+        tt = _dot(t, t, precise_dots)
+        omega_n = _dot(t, s, precise_dots) / jnp.where(tt == 0, 1.0, tt)
+        x = x + alpha_n.astype(dtype) * phat + omega_n.astype(dtype) * shat
+        r = s - omega_n.astype(dtype) * t
+        rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
+        it = it + 1
+        if record_history:
+            hist = hist.at[it].set(rnorm.astype(jnp.float64))
+        return x, r, p, v_n, rho_n, alpha_n, omega_n, it, rnorm, hist
+
+    st0 = (x0, r, zero, zero, one64, one64, one64, jnp.int32(0), rnorm0,
+           hist0)
+    x, r, p, v, rho, alpha, omega, it, rnorm, hist = jax.lax.while_loop(
+        cond, body, st0)
+    return x, it, rnorm, rnorm <= eps0, hist
+
+
+def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
+             record_history: bool = False, precise_dots: bool = True
+             ) -> KrylovResult:
+    A = _wrap_operator(A)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x, it, rnorm, conv, hist = _bicgstab_impl(
+        A, b, x0, jnp.asarray(tol, jnp.float64), M, int(maxiter),
+        bool(record_history), bool(precise_dots))
+    return KrylovResult(x, it, rnorm, conv,
+                        hist if record_history else None)
+
+
+# ---------------------------------------------------------------------------
+# GMRES(restart) — via jax.scipy (matrix-free, jittable)
+# (reference: RobustSolver.jl:348-368, restart default 30)
+# ---------------------------------------------------------------------------
+
+
+def gmres(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
+          restart: int = 30, record_history: bool = False,
+          precise_dots: bool = True) -> KrylovResult:
+    import jax.scipy.sparse.linalg as jssl
+    A = _wrap_operator(A)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    Mfn = (None if M is None
+           else (lambda r: apply_preconditioner(M, r)))
+    kw = dict(x0=x0, tol=tol, atol=tol, restart=int(restart),
+              maxiter=int(maxiter))
+    if Mfn is not None:
+        kw["M"] = Mfn
+    x, _ = jssl.gmres(A.matvec, b, **kw)
+    r = b - A.matvec(x)
+    rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
+    rnorm0 = jnp.sqrt(_dot(b - A.matvec(x0), b - A.matvec(x0),
+                           precise_dots)).real
+    return KrylovResult(x, jnp.int32(-1), rnorm,
+                        rnorm <= tol + tol * rnorm0, None)

@@ -1,0 +1,98 @@
+"""Facet (boundary face) quadrature: areas, traction integration.
+
+TPU-native replacement for Ferrite's FacetValues machinery the reference
+uses for mesh-independent surface loads (reference:
+src/FiniteElementAnalysis/SurfaceTraction.jl:94-125, 196-228).  Instead of
+reinitializing facet values per cell face, the 2D surface Jacobian is
+computed directly from each face's own node coordinates for the whole
+facet batch at once — equivalent for the linear/bilinear faces of tet4 and
+hex8 elements (the only kinds the reference supports,
+SurfaceTraction.jl:98-108).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+_SQ3 = 1.0 / np.sqrt(3.0)
+
+#: order-2 rules on the reference facets
+#: tri: 3-point rule on the unit triangle (weights sum to 1/2 = area)
+_TRI_PTS = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
+_TRI_W = np.full(3, 1.0 / 6.0)
+#: quad: 2x2 Gauss on [-1,1]^2
+_QUAD_PTS = np.array([[-_SQ3, -_SQ3], [_SQ3, -_SQ3],
+                      [_SQ3, _SQ3], [-_SQ3, _SQ3]])
+_QUAD_W = np.ones(4)
+
+
+def _tri_shape(p):
+    xi, eta = p
+    return np.array([1 - xi - eta, xi, eta])
+
+
+def _tri_grad(p):
+    return np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+def _quad_shape(p):
+    xi, eta = p
+    return 0.25 * np.array([(1 - xi) * (1 - eta), (1 + xi) * (1 - eta),
+                            (1 + xi) * (1 + eta), (1 - xi) * (1 + eta)])
+
+
+def _quad_grad(p):
+    xi, eta = p
+    return 0.25 * np.array([
+        [-(1 - eta), -(1 - xi)],
+        [(1 - eta), -(1 + xi)],
+        [(1 + eta), (1 + xi)],
+        [-(1 + eta), (1 - xi)],
+    ])
+
+
+def facet_tables(n_face_nodes: int):
+    """(N [q, fk], dN [q, fk, 2], w [q]) for tri3 / quad4 facets."""
+    if n_face_nodes == 3:
+        pts, w, sh, gr = _TRI_PTS, _TRI_W, _tri_shape, _tri_grad
+    elif n_face_nodes == 4:
+        pts, w, sh, gr = _QUAD_PTS, _QUAD_W, _quad_shape, _quad_grad
+    else:
+        raise NotImplementedError(
+            f"facet with {n_face_nodes} nodes not supported")
+    N = np.stack([sh(p) for p in pts])
+    dN = np.stack([gr(p) for p in pts])
+    return N, dN, w
+
+
+def facet_geometry(face_coords: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched facet quadrature geometry.
+
+    Parameters
+    ----------
+    face_coords : [F, fk, 3] global coordinates of each facet's nodes
+
+    Returns
+    -------
+    N : [q, fk] shape values at facet quadrature points
+    dGamma : [F, q] surface measure (the reference's facet getdetJdV,
+        SurfaceTraction.jl:119, 204)
+    xq : [F, q, 3] physical quadrature-point positions
+    """
+    fk = face_coords.shape[1]
+    N, dN, w = facet_tables(fk)
+    # tangents t_a[f,q,3] = sum_k dN[q,k,a] * X[f,k,:]
+    t = np.einsum("qka,fkd->fqad", dN, face_coords)   # [F,q,2,3]
+    cross = np.cross(t[:, :, 0, :], t[:, :, 1, :])    # [F,q,3]
+    dGamma = np.linalg.norm(cross, axis=-1) * w[None, :]
+    xq = np.einsum("qk,fkd->fqd", N, face_coords)
+    return N, dGamma, xq
+
+
+def facet_areas(face_coords: np.ndarray) -> np.ndarray:
+    """Per-facet areas [F] = integral of 1 dGamma."""
+    _, dGamma, _ = facet_geometry(face_coords)
+    return dGamma.sum(axis=1)

@@ -76,7 +76,7 @@ def principal_stresses(sigma: jnp.ndarray) -> jnp.ndarray:
     phi = jnp.arccos(r) / 3.0
     two_pi_3 = 2.0 * jnp.pi / 3.0
     e1 = q + 2.0 * p * jnp.cos(phi)                    # max
-    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * two_pi_3)   # min
+    e3 = q + 2.0 * p * jnp.cos(phi + two_pi_3)         # min
     e2 = tr - e1 - e3
     return jnp.stack([e3, e2, e1], axis=-1)
 
