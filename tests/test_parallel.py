@@ -1,0 +1,121 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4d):
+sharded SpMV == single-device SpMV; batched sweep == per-lane solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                assemble_stiffness_matrix, setup_problem,
+                                solve_system)
+from topopteval_tpu.config import SolverConfig
+from topopteval_tpu.fem.bc import free_mask_from_bcs, nodes_at_plane
+from topopteval_tpu.fem.solvers import cg
+from topopteval_tpu.materials import (SIMPMaterial, create_material_model,
+                                      lame_parameters)
+from topopteval_tpu.models.beams import generate_grid_tet
+from topopteval_tpu.parallel import (ShardedStiffnessOperator, SweepKernel,
+                                     build_device_mesh, shard_sweep_inputs,
+                                     sweep_compliance)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _cantilever(nx=6, ny=3, nz=3):
+    mesh = generate_grid_tet(nx, ny, nz, (0, 0, 0), (6, 1, 1))
+    problem = setup_problem(mesh)
+    assemble_stiffness_matrix(problem, *create_material_model(1.0, 0.3))
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
+    apply_force(problem, nodes_at_plane(mesh, 0, 6.0), [0, 0, -1.0])
+    return mesh, problem
+
+
+def test_sharded_matvec_matches_single_device():
+    mesh, problem = _cantilever()
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    dev_mesh = build_device_mesh(8, data_parallel=1)
+    sop = ShardedStiffnessOperator.build(
+        mesh, problem.lam, problem.mu, dev_mesh, free_mask=mask,
+        dtype=jnp.float64)
+    op = problem.build_operator(with_bc=True)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(problem.n_dofs))
+    np.testing.assert_allclose(np.asarray(sop.matvec(u)),
+                               np.asarray(op.matvec(u)),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sop.diagonal()),
+                               np.asarray(op.diagonal()),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_sharded_cg_solves_same_solution():
+    mesh, problem = _cantilever()
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    dev_mesh = build_device_mesh(8)
+    sop = ShardedStiffnessOperator.build(
+        mesh, problem.lam, problem.mu, dev_mesh, free_mask=mask,
+        dtype=jnp.float64)
+    f = jnp.asarray(problem.f) * sop.free_mask
+    res = cg(sop, f, tol=1e-12, maxiter=3000)
+    assert bool(res.converged)
+    ref = solve_system(problem, SolverConfig(method="direct",
+                                             verbose=False))
+    np.testing.assert_allclose(np.asarray(res.x), ref.u, rtol=1e-6,
+                               atol=1e-10)
+
+
+def test_2d_mesh_axes():
+    dm = build_device_mesh(8, data_parallel=2)
+    assert dm.shape["data"] == 2 and dm.shape["elem"] == 4
+
+
+def test_sweep_matches_individual_solves():
+    mesh, problem = _cantilever(4, 2, 2)
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    material = SIMPMaterial(E0=1.0, nu=0.3, Emin=1e-4, p=3.0)
+    kernel = SweepKernel.build(mesh, 0.3, mask, dtype=jnp.float64)
+
+    rng = np.random.default_rng(1)
+    B, L = 4, 2
+    densities = jnp.asarray(rng.uniform(0.2, 1.0, (B, mesh.n_cells)))
+    escales = material.youngs_modulus(densities)
+    loads = np.zeros((L, problem.n_dofs))
+    loads[0] = problem.f                      # -z tip load
+    # second case: +y tip load on the same nodes
+    fy = problem.f.reshape(-1, 3)
+    loads[1] = np.stack([np.zeros_like(fy[:, 2]), -fy[:, 2],
+                         np.zeros_like(fy[:, 2])], axis=1).reshape(-1)
+    loads = jnp.asarray(loads)
+
+    energies, iters = sweep_compliance(kernel, escales, loads, tol=1e-10,
+                                       maxiter=4000)
+    assert energies.shape == (B, L)
+    assert np.all(np.asarray(iters) > 0)
+
+    # oracle: solve each lane with the standard pipeline
+    for b in range(B):
+        lam, mu = material.lame(np.asarray(densities[b]))
+        problem.lam, problem.mu = np.asarray(lam), np.asarray(mu)
+        for l in range(L):
+            problem.f = np.asarray(loads[l])
+            r = solve_system(problem, SolverConfig(method="direct",
+                                                   verbose=False))
+            np.testing.assert_allclose(float(energies[b, l]), r.energy,
+                                       rtol=1e-6)
+
+
+def test_sweep_sharded_placement_runs():
+    mesh, problem = _cantilever(4, 2, 2)
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    kernel = SweepKernel.build(mesh, 0.3, mask, dtype=jnp.float64)
+    dm = build_device_mesh(8, data_parallel=8)
+    rng = np.random.default_rng(2)
+    densities = jnp.asarray(rng.uniform(0.3, 1.0, (8, mesh.n_cells)))
+    loads = jnp.asarray(problem.f)[None]
+    d_sh, l_sh = shard_sweep_inputs(dm, densities ** 3, loads)
+    energies, iters = sweep_compliance(kernel, d_sh, l_sh, tol=1e-8,
+                                       maxiter=2000)
+    assert np.all(np.isfinite(np.asarray(energies)))
+    assert energies.shape == (8, 1)

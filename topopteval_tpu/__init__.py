@@ -3,21 +3,79 @@ structures.
 
 A ground-up JAX/XLA/Pallas re-design of the capabilities of
 jezekon/TopOptEval.jl (reference mounted read-only at /root/reference):
-mesh import (VTU/GMSH), linear-elastic FEM with SIMP density penalization,
-matrix-free preconditioned Krylov solves entirely in HBM, stress recovery,
-von Mises / principal stress export, and batched/sharded design sweeps
-across TPU meshes.
+mesh import (VTU/GMSH/INP), linear-elastic FEM with SIMP density
+penalization, matrix-free preconditioned Krylov solves entirely in HBM,
+stress recovery, von Mises / principal stress export, and batched/sharded
+design sweeps across TPU meshes.
 
-The public API mirrors the reference facade's ~30 re-exports
+The public surface mirrors the reference facade's re-exports
 (reference: src/TopOptEval.jl:17-42) with a functional, array-first idiom.
 """
 
 __version__ = "0.1.0"
 
+# data model
 from .mesh import Mesh, DeviceMesh, dofs_of_nodes, element_dofs
+
+# mesh I/O (reference: MeshImport + ResultsExport)
+from .api import import_mesh, extract_cell_density, calculate_volume
 from .io import read_vtu_mesh, read_cell_density, write_vtu, VTUWriter
+from .io.results import (export_results, export_displacement, export_stress,
+                         export_boundary_conditions)
+
+# materials (reference: FiniteElementAnalysis materials)
+from .materials import (create_material_model, create_simp_material_model,
+                        lame_parameters, SIMPMaterial, elasticity_matrix)
+
+# problem workflow (reference: FiniteElementAnalysis core)
+from .api import (Problem, SolveResult, setup_problem,
+                  assemble_stiffness_matrix, assemble_stiffness_matrix_simp,
+                  apply_fixed_boundary, apply_sliding_boundary, apply_force,
+                  solve_system, solve_system_simp, solve_system_adaptive,
+                  solve_system_robust, solve_system_robust_simp)
+
+# boundary selection (reference: SelectNodesForBC)
+from .fem.bc import (select_nodes_by_plane, select_nodes_by_circle,
+                     nodes_at_plane, extract_surface, DirichletBC,
+                     free_mask_from_bcs)
+
+# loads (reference: VolumeForce + SurfaceTraction)
+from .fem.loads import (apply_volume_force, apply_gravity,
+                        apply_acceleration,
+                        apply_variable_density_volume_force,
+                        get_boundary_facets, compute_boundary_area,
+                        apply_surface_traction,
+                        apply_uniform_surface_traction)
+
+# solver config (reference: RobustSolver)
+from .config import (SolverConfig, large_symmetric_config,
+                     large_general_config, memory_efficient_config)
+
+# terminal helpers (reference: Utils.TerminalStyle)
+from .utils import (print_info, print_error, print_warning, print_success,
+                    print_data, set_verbosity)
 
 __all__ = [
     "Mesh", "DeviceMesh", "dofs_of_nodes", "element_dofs",
+    "import_mesh", "extract_cell_density", "calculate_volume",
     "read_vtu_mesh", "read_cell_density", "write_vtu", "VTUWriter",
+    "export_results", "export_displacement", "export_stress",
+    "export_boundary_conditions",
+    "create_material_model", "create_simp_material_model",
+    "lame_parameters", "SIMPMaterial", "elasticity_matrix",
+    "Problem", "SolveResult", "setup_problem",
+    "assemble_stiffness_matrix", "assemble_stiffness_matrix_simp",
+    "apply_fixed_boundary", "apply_sliding_boundary", "apply_force",
+    "solve_system", "solve_system_simp", "solve_system_adaptive",
+    "solve_system_robust", "solve_system_robust_simp",
+    "select_nodes_by_plane", "select_nodes_by_circle", "nodes_at_plane",
+    "extract_surface", "DirichletBC", "free_mask_from_bcs",
+    "apply_volume_force", "apply_gravity", "apply_acceleration",
+    "apply_variable_density_volume_force", "get_boundary_facets",
+    "compute_boundary_area", "apply_surface_traction",
+    "apply_uniform_surface_traction",
+    "SolverConfig", "large_symmetric_config", "large_general_config",
+    "memory_efficient_config",
+    "print_info", "print_error", "print_warning", "print_success",
+    "print_data", "set_verbosity",
 ]

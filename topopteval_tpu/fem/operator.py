@@ -164,9 +164,10 @@ class StiffnessOperator:
     def energy(self, u: jnp.ndarray) -> jnp.ndarray:
         """Deformation energy 0.5 * u^T K u (reference:
         FiniteElementAnalysis.jl:550) with f64 accumulation."""
+        from .solvers import precise_dtype
         Ku = self.matvec(u)
-        return 0.5 * jnp.vdot(u.astype(jnp.float64),
-                              Ku.astype(jnp.float64))
+        pd = precise_dtype()
+        return 0.5 * jnp.vdot(u.astype(pd), Ku.astype(pd))
 
     def volume(self, weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Density-weighted mesh volume (reference: Utils.jl:24-92)."""

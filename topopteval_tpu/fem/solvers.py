@@ -72,9 +72,16 @@ def apply_preconditioner(M, r):
     return M * r
 
 
+def precise_dtype():
+    """float64 when x64 is enabled (CPU parity runs), else float32
+    (TPU throughput runs) — avoids silent-truncation warnings."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 def _dot(a, b, precise):
-    if precise and a.dtype != jnp.float64:
-        return jnp.vdot(a.astype(jnp.float64), b.astype(jnp.float64))
+    pd = precise_dtype()
+    if precise and a.dtype != pd:
+        return jnp.vdot(a.astype(pd), b.astype(pd))
     return jnp.vdot(a, b)
 
 
@@ -92,9 +99,9 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
     rz = _dot(r, z, precise_dots)
     rnorm0 = jnp.sqrt(_dot(r, r, precise_dots)).real
     eps = tol + tol * rnorm0   # Krylov.jl: atol + rtol*‖r0‖
-    hist0 = (jnp.zeros(maxiter + 1, dtype=jnp.float64)
-             .at[0].set(rnorm0.astype(jnp.float64))
-             if record_history else jnp.zeros(0, dtype=jnp.float64))
+    hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
+             .at[0].set(rnorm0.astype(precise_dtype()))
+             if record_history else jnp.zeros(0, dtype=precise_dtype()))
 
     def cond(state):
         _, _, _, _, it, rnorm, _ = state
@@ -114,7 +121,7 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
         it = it + 1
         if record_history:
-            hist = hist.at[it].set(rnorm.astype(jnp.float64))
+            hist = hist.at[it].set(rnorm.astype(precise_dtype()))
         return x, r, p, rz_new, it, rnorm, hist
 
     state = (x0, r, p, rz, jnp.int32(0), rnorm0, hist0)
@@ -136,7 +143,7 @@ def cg(A, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     if x0 is None:
         x0 = jnp.zeros_like(b)
     x, it, rnorm, conv, hist = _cg_impl(
-        A, b, x0, jnp.asarray(tol, jnp.float64), M, int(maxiter),
+        A, b, x0, jnp.asarray(tol, precise_dtype()), M, int(maxiter),
         bool(record_history), bool(precise_dots))
     return KrylovResult(x, it, rnorm, conv,
                         hist if record_history else None)
@@ -201,12 +208,12 @@ def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
     y = apply_preconditioner(M, r1)
     beta1 = jnp.sqrt(jnp.maximum(_dot(r1, y, precise_dots).real, 0.0))
     eps0 = tol + tol * beta1
-    hist0 = (jnp.zeros(maxiter + 1, dtype=jnp.float64)
-             .at[0].set(beta1.astype(jnp.float64))
-             if record_history else jnp.zeros(0, dtype=jnp.float64))
+    hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
+             .at[0].set(beta1.astype(precise_dtype()))
+             if record_history else jnp.zeros(0, dtype=precise_dtype()))
 
     zero = jnp.zeros_like(b)
-    one = jnp.asarray(1.0, jnp.float64)
+    one = jnp.asarray(1.0, precise_dtype())
 
     # carry: x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
     #        it, rnorm, hist
@@ -218,7 +225,8 @@ def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         (x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
          it, _, hist) = st
         s = 1.0 / beta
-        v = (s * y.astype(jnp.float64)).astype(dtype)
+        pd = precise_dtype()
+        v = (s * y.astype(pd)).astype(dtype)
         yv = A.matvec(v)
         yv = jnp.where(it >= 1, yv - (beta / oldb).astype(dtype) * r1, yv)
         alfa = _dot(v, yv, precise_dots).real
@@ -239,20 +247,20 @@ def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         phibar_n = sn_n * phibar
         w1 = w2
         w2n = w
-        wn = ((v.astype(jnp.float64)
-               - oldeps * w1.astype(jnp.float64)
-               - delta * w2n.astype(jnp.float64)) / gamma).astype(dtype)
+        wn = ((v.astype(pd)
+               - oldeps * w1.astype(pd)
+               - delta * w2n.astype(pd)) / gamma).astype(dtype)
         xn = x + phi.astype(dtype) * wn
         it = it + 1
         if record_history:
-            hist = hist.at[it].set(phibar_n.astype(jnp.float64))
+            hist = hist.at[it].set(phibar_n.astype(precise_dtype()))
         return (xn, r1n, r2n, yn, wn, w2n, oldb_n, beta_n, dbar_n, epsln_n,
                 phibar_n, cs_n, sn_n, it, phibar_n, hist)
 
     st0 = (x0, r1, r1, y, zero, zero, one * 0.0, beta1,
-           jnp.asarray(0.0, jnp.float64), jnp.asarray(0.0, jnp.float64),
-           beta1, jnp.asarray(-1.0, jnp.float64),
-           jnp.asarray(0.0, jnp.float64), jnp.int32(0), beta1, hist0)
+           jnp.asarray(0.0, precise_dtype()), jnp.asarray(0.0, precise_dtype()),
+           beta1, jnp.asarray(-1.0, precise_dtype()),
+           jnp.asarray(0.0, precise_dtype()), jnp.int32(0), beta1, hist0)
     st = jax.lax.while_loop(cond, body, st0)
     x, it, hist = st[0], st[13], st[15]
     # report the true residual (the reference verifies ‖Ku−f‖,
@@ -271,7 +279,7 @@ def minres(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
     if x0 is None:
         x0 = jnp.zeros_like(b)
     x, it, rnorm, conv, hist = _minres_impl(
-        A, b, x0, jnp.asarray(tol, jnp.float64), M, int(maxiter),
+        A, b, x0, jnp.asarray(tol, precise_dtype()), M, int(maxiter),
         bool(record_history), bool(precise_dots))
     return KrylovResult(x, it, rnorm, conv,
                         hist if record_history else None)
@@ -293,10 +301,10 @@ def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
     rnorm0 = jnp.sqrt(_dot(r, r, precise_dots)).real
     eps0 = tol + tol * rnorm0
     zero = jnp.zeros_like(b)
-    hist0 = (jnp.zeros(maxiter + 1, dtype=jnp.float64)
-             .at[0].set(rnorm0.astype(jnp.float64))
-             if record_history else jnp.zeros(0, dtype=jnp.float64))
-    one64 = jnp.asarray(1.0, jnp.float64)
+    hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
+             .at[0].set(rnorm0.astype(precise_dtype()))
+             if record_history else jnp.zeros(0, dtype=precise_dtype()))
+    one64 = jnp.asarray(1.0, precise_dtype())
 
     def cond(st):
         it, rnorm = st[7], st[8]
@@ -322,7 +330,7 @@ def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
         it = it + 1
         if record_history:
-            hist = hist.at[it].set(rnorm.astype(jnp.float64))
+            hist = hist.at[it].set(rnorm.astype(precise_dtype()))
         return x, r, p, v_n, rho_n, alpha_n, omega_n, it, rnorm, hist
 
     st0 = (x0, r, zero, zero, one64, one64, one64, jnp.int32(0), rnorm0,
@@ -339,7 +347,7 @@ def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
     if x0 is None:
         x0 = jnp.zeros_like(b)
     x, it, rnorm, conv, hist = _bicgstab_impl(
-        A, b, x0, jnp.asarray(tol, jnp.float64), M, int(maxiter),
+        A, b, x0, jnp.asarray(tol, precise_dtype()), M, int(maxiter),
         bool(record_history), bool(precise_dots))
     return KrylovResult(x, it, rnorm, conv,
                         hist if record_history else None)

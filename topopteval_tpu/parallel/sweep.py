@@ -1,0 +1,181 @@
+"""Batched design sweeps: many density fields × load cases at once.
+
+The reference evaluates one (mesh, density, load) combination per run
+(straight-line pipeline, SURVEY.md §1).  The TPU-native win is throughput
+for optimizer validation: ``vmap`` the whole assemble→PCG→energy pipeline
+over a density batch and a load-case batch, and shard the batch axis over
+the device mesh's data axis while the element axis shards the mesh
+(BASELINE.md config 5: 64 densities × 4 load cases).
+
+Because every lane shares one mesh, the element geometry (gradients,
+integration weights) is computed once and reused across the batch —
+density only rescales the element material (SIMP:
+E(rho) = Emin + (E0-Emin) rho^p, reference FiniteElementAnalysis.jl:623).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..materials import SIMPMaterial, lame_parameters
+from ..mesh import DIM, Mesh
+from ..ops.elements import physical_gradients
+from ..ops.scatter import ScatterPlan
+from ..mesh import element_dofs
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepKernel:
+    """Precomputed per-mesh state for density sweeps (pytree)."""
+
+    g: jnp.ndarray          # [C, q, k, 3] physical gradients
+    wdet: jnp.ndarray       # [C, q]
+    plan: ScatterPlan
+    free_mask: jnp.ndarray  # [ndof]
+    nu: float = dataclasses.field(metadata={"static": True})
+
+    @staticmethod
+    def build(mesh: Mesh, nu: float, free_mask: np.ndarray,
+              dtype=jnp.float32, order: int = 2) -> "SweepKernel":
+        dmesh = mesh.device(dtype=dtype)
+        g, wdet = physical_gradients(dmesh.coords[dmesh.conn],
+                                     mesh.element_type, order)
+        plan = ScatterPlan.build(element_dofs(mesh.conn), mesh.n_dofs)
+        return SweepKernel(g=g, wdet=wdet, plan=plan,
+                           free_mask=jnp.asarray(free_mask, dtype),
+                           nu=float(nu))
+
+    # -- matrix-free operator for one density lane --------------------------
+
+    def matvec(self, escale: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """A(u) with per-element Young's-modulus scale ``escale [C]``."""
+        m = self.free_mask
+        um = m * u
+        k = self.g.shape[2]
+        u_e = self.plan.gather(um).reshape(-1, k, DIM)
+        lam0, mu0 = lame_parameters(1.0, self.nu)
+        grad_u = jnp.einsum("cqkb,cka->cqab", self.g, u_e)
+        eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+        tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
+        eye = jnp.eye(DIM, dtype=u.dtype)
+        sigma = (lam0 * tr[..., None, None] * eye + 2.0 * mu0 * eps)
+        w = self.wdet * escale[:, None]
+        f_e = jnp.einsum("cq,cqab,cqkb->cka", w, sigma, self.g)
+        f = self.plan.scatter_add(f_e.reshape(-1, k * DIM))
+        return m * f + (1.0 - m) * u
+
+    def diagonal(self, escale: jnp.ndarray) -> jnp.ndarray:
+        lam0, mu0 = lame_parameters(1.0, self.nu)
+        g2 = self.g * self.g
+        norm2 = jnp.sum(g2, axis=-1, keepdims=True)
+        w = self.wdet * escale[:, None]
+        d = (jnp.einsum("cq,cqka->cka", w * (lam0 + mu0), g2)
+             + jnp.einsum("cq,cqka->cka", w * mu0,
+                          jnp.broadcast_to(norm2, g2.shape)))
+        k = self.g.shape[2]
+        diag = self.plan.scatter_add(d.reshape(-1, k * DIM))
+        m = self.free_mask
+        return m * m * diag + (1.0 - m)
+
+    def solve_lane(self, escale: jnp.ndarray, f: jnp.ndarray,
+                   tol: float, maxiter: int) -> Tuple[jnp.ndarray,
+                                                      jnp.ndarray,
+                                                      jnp.ndarray]:
+        """Jacobi-PCG for one (density, load) lane; vmap-able.
+
+        Returns (u, energy, iterations).
+        """
+        m = self.free_mask
+        b = m * f
+        Minv = 1.0 / self.diagonal(escale)
+
+        r = b
+        z = Minv * r
+        p = z
+        rz = jnp.vdot(r, z)
+        rn0 = jnp.sqrt(jnp.vdot(r, r))
+        eps = tol * rn0 + tol
+
+        def cond(st):
+            return jnp.logical_and(st[4] < maxiter, st[5] > eps)
+
+        def body(st):
+            x, r, p, rz, it, _ = st
+            Ap = self.matvec(escale, p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = Minv * r
+            rz_n = jnp.vdot(r, z)
+            p = z + (rz_n / rz) * p
+            return x, r, p, rz_n, it + 1, jnp.sqrt(jnp.vdot(r, r))
+
+        x0 = jnp.zeros_like(b)
+        x, r, p, rz, it, rn = jax.lax.while_loop(
+            cond, body, (x0, r, p, rz, jnp.int32(0), rn0))
+        energy = 0.5 * jnp.vdot(x, self.matvec(escale, x))
+        return x, energy, it
+
+
+@partial(jax.jit, static_argnames=("tol", "maxiter", "return_u"))
+def sweep_compliance(kernel: SweepKernel, escales: jnp.ndarray,
+                     loads: jnp.ndarray, tol: float = 1e-6,
+                     maxiter: int = 2000, return_u: bool = False):
+    """Compliance for every (density i, load j) pair.
+
+    Parameters
+    ----------
+    escales : [B, C] per-lane Young's-modulus scale fields
+        (e.g. ``SIMPMaterial.scale(densities)``)
+    loads : [L, ndof] load vectors
+
+    Returns
+    -------
+    energies [B, L], iterations [B, L] (and u [B, L, ndof] if requested)
+    """
+    def one(escale, f):
+        u, e, it = kernel.solve_lane(escale, f, tol, maxiter)
+        return (u, e, it) if return_u else (e, it)
+
+    over_loads = jax.vmap(one, in_axes=(None, 0))
+    over_both = jax.vmap(over_loads, in_axes=(0, None))
+    out = over_both(escales, loads)
+    if return_u:
+        u, e, it = out
+        return e, it, u
+    return out
+
+
+def shard_sweep_inputs(device_mesh, escales: jnp.ndarray,
+                       loads: jnp.ndarray):
+    """Place the density batch over the data axis (loads replicated).
+
+    With the element arrays of the kernel replicated, XLA partitions the
+    vmapped lanes across the data axis — embarrassingly parallel, no
+    per-iteration communication (SURVEY.md §2.2 DP row).
+    """
+    batch_sh = NamedSharding(device_mesh, P("data"))
+    repl = NamedSharding(device_mesh, P())
+    return (jax.device_put(escales, batch_sh),
+            jax.device_put(loads, repl))
+
+
+def simp_scales(material: SIMPMaterial, densities: jnp.ndarray
+                ) -> jnp.ndarray:
+    """Density batch [B, C] → per-element stiffness scales E(rho)/E0*E0
+    (absolute E factors; lame with E0=1 is scaled by this)."""
+    return material.youngs_modulus(densities)
+
+
+jax.tree_util.register_pytree_node(
+    SweepKernel,
+    lambda kkernel: ((kkernel.g, kkernel.wdet, kkernel.plan,
+                      kkernel.free_mask), (kkernel.nu,)),
+    lambda aux, leaves: SweepKernel(*leaves, aux[0]))
