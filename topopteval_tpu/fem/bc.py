@@ -51,17 +51,25 @@ class SurfaceTopology:
 
 def extract_surface(mesh: Mesh) -> SurfaceTopology:
     """Faces appearing once across all cells are surface faces
-    (reference: SelectNodesForBC.jl:59-123)."""
+    (reference: SelectNodesForBC.jl:59-123).
+
+    Uses the native hash-map kernel (native/topopt_native.cpp) when built;
+    NumPy sorted-unique fallback otherwise — both produce identical
+    sorted face indices (tests/test_native.py).
+    """
     faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
     nf, fk = faces.shape
     conn = mesh.conn.astype(np.int64)
     face_nodes = conn[:, faces]                       # [C, nf, fk]
     flat = face_nodes.reshape(-1, fk)
-    keys = np.sort(flat, axis=1)
-    uniq, inverse, counts = np.unique(keys, axis=0, return_inverse=True,
-                                      return_counts=True)
-    on_surface = counts[inverse] == 1                 # [C*nf]
-    idx = np.flatnonzero(on_surface)
+
+    from ..io.native import extract_surface_faces_native
+    idx = extract_surface_faces_native(mesh.conn, faces)
+    if idx is None:                                   # NumPy fallback
+        keys = np.sort(flat, axis=1)
+        uniq, inverse, counts = np.unique(keys, axis=0, return_inverse=True,
+                                          return_counts=True)
+        idx = np.flatnonzero(counts[inverse] == 1)    # [C*nf]
     face_cells = idx // nf
     face_local = idx % nf
     face_conn = flat[idx]
