@@ -249,6 +249,7 @@ class SolveResult:
     converged: bool
     solve_time: float
     history: Optional[np.ndarray] = None
+    timings: Optional[dict] = None        # per-phase seconds (SURVEY.md §5)
 
     # tuple-unpacking parity with the reference's 5-tuple return
     def __iter__(self):
@@ -279,8 +280,11 @@ def solve_system(problem: Problem,
     Handles both the uniform and SIMP paths — the material is whatever was
     assembled onto the problem.
     """
+    from .utils.profiling import PhaseTimer
+    timer = PhaseTimer()
     config = config or _default_config()
-    op = problem.build_operator(with_bc=True)
+    with timer.phase("build_operator"):
+        op = problem.build_operator(with_bc=True)
     dmesh = op.dmesh
     n = problem.n_dofs
 
@@ -333,10 +337,14 @@ def solve_system(problem: Problem,
             niter, rnorm, conv, method = 1, 0.0, True, "direct(fallback)"
     u.block_until_ready()
     solve_time = time.perf_counter() - t0
+    timer.records["solve"] = __import__(
+        "topopteval_tpu.utils.profiling", fromlist=["PhaseRecord"]
+    ).PhaseRecord("solve", solve_time)
 
-    energy = float(op.energy(u))
-    sigma_qp, avg, vm, max_vm, max_cell = stress_summary(
-        dmesh, u, op.lam, op.mu, problem.quad_order)
+    with timer.phase("postprocess"):
+        energy = float(op.energy(u))
+        sigma_qp, avg, vm, max_vm, max_cell = stress_summary(
+            dmesh, u, op.lam, op.mu, problem.quad_order)
 
     log("Analysis complete")
     log(f"Deformation energy: {energy} J")
@@ -351,7 +359,8 @@ def solve_system(problem: Problem,
         von_mises=np.asarray(vm)[:C],
         max_von_mises=float(max_vm), max_stress_cell=int(max_cell),
         method=method, iterations=niter, residual_norm=rnorm,
-        converged=conv, solve_time=solve_time, history=history)
+        converged=conv, solve_time=solve_time, history=history,
+        timings=timer.as_dict())
 
 
 # SIMP variant shares the implementation; the material was captured at

@@ -182,13 +182,14 @@ def block_jacobi_preconditioner(blocks: jnp.ndarray,
     preconditioner agrees with the masked operator.  Much stronger than
     plain Jacobi on SIMP-contrast meshes (SURVEY.md §7 hard part 3).
     """
+    from ..ops.elements import _inv3x3
     m = free_mask.reshape(-1, 3)
     eye = jnp.eye(3, dtype=blocks.dtype)
     bm = blocks * (m[:, :, None] * m[:, None, :]) + (1.0 - m)[:, :, None] * eye
+    # adjugate-based batched inverse (VPU-friendly; no LAPACK custom call)
+    inv, det = _inv3x3(bm)
     # guard singular blocks (padded phantom nodes): fall back to identity
-    det = jnp.linalg.det(bm)
-    bm = jnp.where((jnp.abs(det) < 1e-300)[:, None, None], eye, bm)
-    return jnp.linalg.inv(bm)
+    return jnp.where((det == 0)[:, None, None], eye, inv)
 
 
 # ---------------------------------------------------------------------------

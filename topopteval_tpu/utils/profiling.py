@@ -1,0 +1,107 @@
+"""Phase timing + device profiler hooks.
+
+The reference's only instrumentation is one ``@elapsed`` around the solve
+plus printed diagnostics (reference: RobustSolver.jl:584-594; SURVEY.md §5
+"tracing/profiling").  Rebuilt as a first-class timing subsystem:
+
+- :class:`PhaseTimer` — nested wall-clock phases with a report table
+- ``trace(name)`` — context manager that also opens a
+  ``jax.profiler.TraceAnnotation`` so phases show up on TPU traces
+- ``profile_to(dir)`` — whole-block ``jax.profiler`` capture for
+  tensorboard/xprof
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+from .terminal import log
+
+
+@dataclasses.dataclass
+class PhaseRecord:
+    name: str
+    seconds: float
+    count: int = 1
+
+
+class PhaseTimer:
+    """Accumulating named phase timer.
+
+    >>> timer = PhaseTimer()
+    >>> with timer.phase("assemble"): ...
+    >>> with timer.phase("solve"): ...
+    >>> timer.report()
+    """
+
+    def __init__(self):
+        self.records: Dict[str, PhaseRecord] = {}
+        self._stack: List[str] = []
+
+    @contextlib.contextmanager
+    def phase(self, name: str, annotate_device: bool = True):
+        self._stack.append(name)
+        full = "/".join(self._stack)
+        ctx = contextlib.nullcontext()
+        if annotate_device:
+            try:
+                import jax.profiler
+                ctx = jax.profiler.TraceAnnotation(full)
+            except Exception:  # pragma: no cover
+                pass
+        t0 = time.perf_counter()
+        try:
+            with ctx:
+                yield
+        finally:
+            dt = time.perf_counter() - t0
+            self._stack.pop()
+            rec = self.records.get(full)
+            if rec is None:
+                self.records[full] = PhaseRecord(full, dt)
+            else:
+                rec.seconds += dt
+                rec.count += 1
+
+    def total(self) -> float:
+        return sum(r.seconds for n, r in self.records.items()
+                   if "/" not in n)
+
+    def report(self) -> str:
+        lines = ["phase timings:"]
+        total = max(self.total(), 1e-12)
+        for name, rec in sorted(self.records.items()):
+            pct = rec.seconds / total * 100
+            lines.append(f"  {name:<30s} {rec.seconds:9.3f}s "
+                         f"x{rec.count:<4d} {pct:5.1f}%")
+        text = "\n".join(lines)
+        log(text)
+        return text
+
+    def as_dict(self) -> Dict[str, float]:
+        return {n: r.seconds for n, r in self.records.items()}
+
+
+@contextlib.contextmanager
+def trace(name: str):
+    """Standalone device trace annotation."""
+    try:
+        import jax.profiler
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    except Exception:  # pragma: no cover
+        yield
+
+
+@contextlib.contextmanager
+def profile_to(log_dir: str):
+    """Capture a jax.profiler trace for the enclosed block."""
+    import jax.profiler
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
