@@ -10,10 +10,18 @@ iteration stats go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compilation cache: the axon remote compile is slow (minutes
+# for the big fused kernels); cache hits make reruns start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def log(msg):

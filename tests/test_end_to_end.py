@@ -154,3 +154,38 @@ def test_stored_mode_matches_otf(cantilever, beam_tet_path):
     b = problem.build_operator(with_bc=False).matvec_raw(u)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
                                atol=1e-10)
+
+
+def test_quadratic_interpolation_order(beam_tet_path):
+    """interpolation_order=2 (tet4 -> tet10 refinement) matches its own
+    fp64 direct oracle and is softer than linear elements (reference path:
+    FiniteElementAnalysis.jl:151-168)."""
+    mesh = import_mesh(beam_tet_path)
+    lam, mu = create_material_model(1.0, 0.3)
+
+    def build(order):
+        problem = setup_problem(mesh, interpolation_order=order)
+        assemble_stiffness_matrix(problem, lam, mu)
+        m = problem.mesh
+        apply_fixed_boundary(problem, nodes_at_plane(m, 0, 0.0))
+        apply_force(problem, nodes_at_plane(m, 0, 60.0), [0.0, 0.0, -1.0])
+        return problem
+
+    p1, p2 = build(1), build(2)
+    assert p2.mesh.element_type == "tet10"
+    assert p2.mesh.n_nodes > p1.mesh.n_nodes
+    r2 = solve_system(p2)
+    _, e_oracle = _oracle_energy(p2)
+    assert abs(r2.energy - e_oracle) / e_oracle <= 1e-8
+    r1 = solve_system(p1)
+    # quadratic basis is strictly softer -> more compliance under same load
+    assert r2.energy > r1.energy
+
+
+def test_warm_start_reduces_iterations(cantilever):
+    r1 = solve_system(cantilever)
+    cfg = SolverConfig(method="cg", preconditioner="block_diagonal",
+                       tolerance=1e-10, verbose=False)
+    r2 = solve_system(cantilever, cfg, x0=r1.u)
+    assert r2.iterations <= max(r1.iterations // 10, 2)
+    assert abs(r2.energy - r1.energy) / r1.energy < 1e-8

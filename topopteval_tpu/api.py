@@ -273,12 +273,15 @@ def _default_config() -> SolverConfig:
 
 
 def solve_system(problem: Problem,
-                 config: Optional[SolverConfig] = None) -> SolveResult:
+                 config: Optional[SolverConfig] = None,
+                 x0: Optional[np.ndarray] = None) -> SolveResult:
     """Solve K u = f with the accumulated constraints, then recover energy
     and stresses (reference: FiniteElementAnalysis.jl:538-561, 831-862).
 
     Handles both the uniform and SIMP paths — the material is whatever was
-    assembled onto the problem.
+    assembled onto the problem.  ``x0`` warm-starts the Krylov iteration
+    (e.g. resume from a previous solve for tolerance sweeps — the
+    checkpoint/resume posture SURVEY.md §5 prescribes).
     """
     from .utils.profiling import PhaseTimer
     timer = PhaseTimer()
@@ -314,7 +317,12 @@ def solve_system(problem: Problem,
     elif method == "cg" and not config.verbose:
         # fast path: plain PCG without the robust ladder's bookkeeping
         M = _build_preconditioner(op, config)
-        res = cg(op, f_dev, M=M, tol=config.tolerance,
+        x0_dev = None
+        if x0 is not None:
+            x0_dev = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
+                jnp.asarray(np.asarray(x0)[:n], problem.dtype))
+            x0_dev = x0_dev * op.free_mask
+        res = cg(op, f_dev, x0=x0_dev, M=M, tol=config.tolerance,
                  maxiter=config.max_iterations,
                  record_history=config.history)
         u = res.x
