@@ -189,3 +189,25 @@ def test_warm_start_reduces_iterations(cantilever):
     r2 = solve_system(cantilever, cfg, x0=r1.u)
     assert r2.iterations <= max(r1.iterations // 10, 2)
     assert abs(r2.energy - r1.energy) / r1.energy < 1e-8
+
+
+def test_save_load_result_roundtrip(cantilever, tmp_path):
+    from topopteval_tpu.api import load_result, save_result
+    r = solve_system(cantilever)
+    path = save_result(r, str(tmp_path / "result"))
+    back = load_result(path)
+    np.testing.assert_allclose(back.u, r.u)
+    assert back.energy == r.energy
+    np.testing.assert_allclose(back.von_mises, r.von_mises)
+    assert back.max_stress_cell == r.max_stress_cell
+    assert back.converged == r.converged
+
+
+def test_evaluate_design_batch_matches_simp_solve(simp_beam, beam_hex_path):
+    from topopteval_tpu.api import evaluate_design_batch
+    density = extract_cell_density(beam_hex_path)
+    energies, iters = evaluate_design_batch(
+        simp_beam, density[None], tol=1e-10, maxiter=20000,
+        dtype=jnp.float64)
+    ref = solve_system_simp(simp_beam)
+    np.testing.assert_allclose(energies[0, 0], ref.energy, rtol=1e-6)

@@ -435,3 +435,88 @@ def _build_preconditioner(op: StiffnessOperator, config: SolverConfig):
         return block_jacobi_preconditioner(op.node_blocks_raw(),
                                            op.free_mask)
     raise ValueError(f"unknown preconditioner {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# Result persistence (SURVEY.md §5: reference has no checkpoint/resume —
+# VTU export is write-only; here results round-trip losslessly and can
+# warm-start later solves via solve_system(..., x0=result.u))
+# ---------------------------------------------------------------------------
+
+
+def save_result(result: SolveResult, path: str) -> str:
+    """Save a SolveResult to a compressed .npz archive."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    np.savez_compressed(
+        path, u=result.u, energy=result.energy,
+        stress_qp=result.stress_qp, von_mises=result.von_mises,
+        max_von_mises=result.max_von_mises,
+        max_stress_cell=result.max_stress_cell,
+        method=result.method, iterations=result.iterations,
+        residual_norm=result.residual_norm, converged=result.converged,
+        solve_time=result.solve_time,
+        history=(result.history if result.history is not None
+                 else np.zeros(0)))
+    return path
+
+
+def load_result(path: str) -> SolveResult:
+    z = np.load(path, allow_pickle=False)
+    hist = z["history"]
+    return SolveResult(
+        u=z["u"], energy=float(z["energy"]), stress_qp=z["stress_qp"],
+        stress_avg=z["stress_qp"].mean(axis=1),
+        von_mises=z["von_mises"],
+        max_von_mises=float(z["max_von_mises"]),
+        max_stress_cell=int(z["max_stress_cell"]),
+        method=str(z["method"]), iterations=int(z["iterations"]),
+        residual_norm=float(z["residual_norm"]),
+        converged=bool(z["converged"]), solve_time=float(z["solve_time"]),
+        history=hist if hist.size else None)
+
+
+# ---------------------------------------------------------------------------
+# Batched design evaluation (BASELINE.md config 5)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_design_batch(problem: Problem, densities: np.ndarray,
+                          load_cases: Optional[np.ndarray] = None,
+                          material: Optional[SIMPMaterial] = None,
+                          tol: float = 1e-6, maxiter: int = 2000,
+                          dtype=None):
+    """Compliance energies for a density batch × load cases.
+
+    The TPU-native throughput path the reference has no analog for: one
+    jitted vmapped pipeline evaluates every (density, load) pair with
+    shared element geometry (see parallel/sweep.py).
+
+    Parameters
+    ----------
+    densities : [B, C] density fields
+    load_cases : [L, ndof] load vectors (defaults to the problem's f)
+    material : SIMP material (defaults to the problem's, else E(rho)=rho)
+
+    Returns
+    -------
+    energies [B, L] numpy array, iterations [B, L]
+    """
+    import jax
+    from .parallel.sweep import SweepKernel, sweep_compliance
+
+    material = material or problem.material
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    dtype = dtype or (jnp.float32 if problem.dtype == jnp.float32
+                      else problem.dtype)
+    kernel = SweepKernel.build(problem.mesh, material.nu if material
+                               else 0.3, mask, dtype=dtype)
+    dens = jnp.asarray(np.asarray(densities), dtype)
+    escales = (material.youngs_modulus(dens) if material is not None
+               else dens)
+    if load_cases is None:
+        load_cases = problem.f[None]
+    loads = jnp.asarray(np.asarray(load_cases), dtype)
+    energies, iters = sweep_compliance(kernel, escales, loads, tol=tol,
+                                       maxiter=maxiter)
+    return np.asarray(energies), np.asarray(iters)

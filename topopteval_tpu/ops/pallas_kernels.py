@@ -1,0 +1,184 @@
+"""Pallas TPU kernels for the hot element ops.
+
+The einsum path in ops/elements.py materializes per-quadrature-point
+gradients [C, q, k, 3] and three Ke-sized partial products in HBM; these
+kernels fuse the whole element computation so only inputs (coords,
+materials) and outputs (Ke or element forces) touch HBM.
+
+Data layout: the element index lives on the *lane* (last, 128-wide) axis —
+inputs are transposed to [comp, C] so every intermediate is a [BLOCK_C]
+vector on the VPU.  Tet4 exploits constant strain: the exact 1-point rule
+replaces the reference's 4-point loop (identical Ke for affine tets;
+reference rule at FiniteElementAnalysis.jl:160-168).
+
+All kernels have `interpret=True` parity tests against the einsum path
+(tests/test_pallas.py) and run uninterpreted on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEF_BLOCK = 512
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Tet4 element stiffness: coords [C,4,3] (+ lam,mu [C]) -> Ke [C,12,12]
+# ---------------------------------------------------------------------------
+
+
+def _tet4_geometry(x):
+    """x: list of 12 [B] vectors (node-major: x0,y0,z0,x1,...).
+
+    Returns (g, vol): g[i][a] = dN_i/dx_a as [B] vectors, vol [B].
+    """
+    # edge matrix E = [p1-p0, p2-p0, p3-p0] (rows); J = E^T in our
+    # convention but only det and inverse products matter.
+    e = [[x[3 * (i + 1) + a] - x[a] for a in range(3)] for i in range(3)]
+    # det via triple product
+    c0 = e[1][1] * e[2][2] - e[1][2] * e[2][1]
+    c1 = e[1][2] * e[2][0] - e[1][0] * e[2][2]
+    c2 = e[1][0] * e[2][1] - e[1][1] * e[2][0]
+    det = e[0][0] * c0 + e[0][1] * c1 + e[0][2] * c2
+    safe = jnp.where(det == 0, jnp.ones_like(det), det)
+    inv_det = 1.0 / safe
+    # rows of E^{-1} (adjugate / det): grad N_{i+1} = (E^{-1})[i, :]
+    adj = [
+        [c0, e[0][2] * e[2][1] - e[0][1] * e[2][2],
+         e[0][1] * e[1][2] - e[0][2] * e[1][1]],
+        [c1, e[0][0] * e[2][2] - e[0][2] * e[2][0],
+         e[0][2] * e[1][0] - e[0][0] * e[1][2]],
+        [c2, e[0][1] * e[2][0] - e[0][0] * e[2][1],
+         e[0][0] * e[1][1] - e[0][1] * e[1][0]],
+    ]
+    # J = E^T (columns are edge vectors), so dN_{i+1}/dx_a = (E^{-1})[a][i]
+    g = [[adj[a][i] * inv_det for a in range(3)] for i in range(3)]
+    g0 = [-(g[0][a] + g[1][a] + g[2][a]) for a in range(3)]
+    vol = det / 6.0
+    return [g0] + g, vol
+
+
+def _tet4_ke_kernel(coords_ref, lam_ref, mu_ref, out_ref):
+    x = [coords_ref[i, :] for i in range(12)]
+    lam = lam_ref[0, :]
+    mu = mu_ref[0, :]
+    g, vol = _tet4_geometry(x)
+    lam_v = lam * vol
+    mu_v = mu * vol
+    # Ke[(i,a),(j,b)] = V (lam g_ia g_jb + mu g_ib g_ja + mu dab g_i.g_j)
+    dots = [[g[i][0] * g[j][0] + g[i][1] * g[j][1] + g[i][2] * g[j][2]
+             for j in range(4)] for i in range(4)]
+    for i in range(4):
+        for a in range(3):
+            for j in range(4):
+                for b in range(3):
+                    val = (lam_v * (g[i][a] * g[j][b])
+                           + mu_v * (g[i][b] * g[j][a]))
+                    if a == b:
+                        val = val + mu_v * dots[i][j]
+                    out_ref[(3 * i + a) * 12 + (3 * j + b), :] = val
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def tet4_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
+                                  mu: jnp.ndarray, block: int = DEF_BLOCK,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Fused Tet4 Ke batch: [C,4,3], [C], [C] -> [C,12,12]."""
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+    ct = jnp.swapaxes(coords_e.reshape(C, 12), 0, 1)        # [12, C]
+    ct = jnp.pad(ct, ((0, 0), (0, Cp - C)))
+    lam2 = jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C)))
+    mu2 = jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C)))
+
+    out = pl.pallas_call(
+        _tet4_ke_kernel,
+        grid=(Cp // block,),
+        in_specs=[
+            pl.BlockSpec((12, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((144, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((144, Cp), coords_e.dtype),
+        interpret=interpret,
+    )(ct, lam2, mu2)
+    return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 12, 12)
+
+
+# ---------------------------------------------------------------------------
+# Tet4 matrix-free element apply: f_e = Ke @ u_e without Ke
+# coords [C,4,3], u_e [C,4,3] -> f_e [C,4,3]
+# ---------------------------------------------------------------------------
+
+
+def _tet4_apply_kernel(coords_ref, u_ref, lam_ref, mu_ref, out_ref):
+    x = [coords_ref[i, :] for i in range(12)]
+    u = [u_ref[i, :] for i in range(12)]
+    lam = lam_ref[0, :]
+    mu = mu_ref[0, :]
+    g, vol = _tet4_geometry(x)
+    # grad_u[a][b] = sum_k u[k,a] g[k][b]
+    gu = [[sum(u[3 * k + a] * g[k][b] for k in range(4)) for b in range(3)]
+          for a in range(3)]
+    eps = [[0.5 * (gu[a][b] + gu[b][a]) for b in range(3)] for a in range(3)]
+    tr = gu[0][0] + gu[1][1] + gu[2][2]
+    lam_tr = lam * tr
+    sig = [[2.0 * mu * eps[a][b] + (lam_tr if a == b else 0.0)
+            for b in range(3)] for a in range(3)]
+    # f[k,a] = V * sum_b sig[a][b] g[k][b]
+    for k in range(4):
+        for a in range(3):
+            out_ref[3 * k + a, :] = vol * (
+                sig[a][0] * g[k][0] + sig[a][1] * g[k][1]
+                + sig[a][2] * g[k][2])
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def tet4_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
+                      lam: jnp.ndarray, mu: jnp.ndarray,
+                      block: int = DEF_BLOCK,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused f_e = Ke(coords, lam, mu) @ u_e for Tet4 batches."""
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+
+    def t(a):
+        return jnp.pad(jnp.swapaxes(a.reshape(C, -1), 0, 1),
+                       ((0, 0), (0, Cp - C)))
+
+    out = pl.pallas_call(
+        _tet4_apply_kernel,
+        grid=(Cp // block,),
+        in_specs=[
+            pl.BlockSpec((12, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((12, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((12, Cp), coords_e.dtype),
+        interpret=interpret,
+    )(t(coords_e), t(u_e),
+      jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
+      jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
+    return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 4, 3)
