@@ -210,3 +210,19 @@ def test_robust_entry_and_verbose(capsys):
     assert r.energy > 0
     assert "PRE-SOLVE DIAGNOSTICS" in out
     assert "FINAL ANALYSIS RESULTS" in out
+
+
+def test_estimate_bandwidth():
+    from topopteval_tpu.fem.robust import estimate_bandwidth
+    from topopteval_tpu.mesh import element_dofs
+    from topopteval_tpu.models.beams import generate_grid_tet
+    mesh = generate_grid_tet(4, 2, 2)
+    bw = estimate_bandwidth(element_dofs(mesh.conn))
+    K = None
+    import scipy.sparse as sp
+    from topopteval_tpu.fem.operator import assemble_scipy
+    from topopteval_tpu.materials import create_material_model
+    K = assemble_scipy(mesh, *create_material_model(1.0, 0.3)).tocoo()
+    true_bw = int(np.abs(K.row - K.col).max())
+    assert bw == true_bw
+    assert bw > 0

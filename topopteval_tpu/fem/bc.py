@@ -185,3 +185,16 @@ def free_mask_from_bcs(n_dofs: int, bcs: Sequence[DirichletBC],
     for bc in bcs:
         mask[bc.fixed_dofs] = 0.0
     return mask
+
+
+def precompute_surface_nodes(mesh: Mesh) -> "SurfaceTopology":
+    """Explicitly front-load surface extraction (reference:
+    SelectNodesForBC.jl:385-398)."""
+    return mesh.surface()
+
+
+def clear_surface_cache(mesh: Mesh) -> None:
+    """Drop the cached surface topology (reference:
+    SelectNodesForBC.jl:370-382 — a global cache there; per-mesh here,
+    which also removes the reference's stale-cache hazard)."""
+    mesh.clear_surface_cache()

@@ -245,3 +245,15 @@ def solve_with_krylov(op, f, method: str, config: SolverConfig
 class _DirectFallback(Exception):
     """Signal to the API layer that the ladder bottomed out into the host
     direct solve (it owns the mesh needed to assemble)."""
+
+
+def estimate_bandwidth(edofs: np.ndarray) -> int:
+    """Matrix bandwidth from element DOF connectivity: max |i - j| over
+    all element-local DOF pairs.
+
+    The reference defines this over assembled CSC columns but never calls
+    it (dead code, RobustSolver.jl:109-125); here it is a live utility —
+    useful for judging node-numbering locality before a solve.
+    """
+    edofs = np.asarray(edofs)
+    return int((edofs.max(axis=1) - edofs.min(axis=1)).max())
