@@ -299,6 +299,14 @@ def solve_system(problem: Problem,
     if method == "auto":
         method = "direct" if n < ADAPTIVE_DOF_THRESHOLD else "cg"
 
+    # fp32 cannot reach fp64-grade residuals: clamp the iterative tolerance
+    # so a throughput-dtype solve converges instead of burning max_iterations
+    if (method != "direct" and jnp.dtype(problem.dtype) == jnp.float32
+            and config.tolerance < 1e-6):
+        log(f"Note: clamping tolerance {config.tolerance:g} -> 1e-6 for "
+            "float32 compute")
+        config = dataclasses.replace(config, tolerance=1e-6)
+
     log("Solving linear system...")
     t0 = time.perf_counter()
     history = None
