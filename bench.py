@@ -84,26 +84,37 @@ def main():
     del ke
 
     # --- end-to-end solve --------------------------------------------------
-    tol, maxiter = 1e-6, 20000
+    # chunked unrolled PCG: <=CHUNK iterations per device program (the axon
+    # runtime kills long-running programs), 8 CG iterations per loop step
+    # (amortizes the ~5 ms/step dispatch overhead, tools/tpu_bisect5)
+    tol, chunk, max_chunks, unroll = 1e-6, 2000, 10, 8
+
+    M = block_jacobi_preconditioner(op.node_blocks_raw(), op.free_mask)
+    M.block_until_ready()
 
     def solve():
-        M = block_jacobi_preconditioner(op.node_blocks_raw(), op.free_mask)
-        res = cg(op, f_dev, M=M, tol=tol, maxiter=maxiter,
-                 precise_dots=False)
-        return res
+        x = None
+        total = 0
+        for _ in range(max_chunks):
+            res = cg(op, f_dev, x0=x, M=M, tol=tol, maxiter=chunk,
+                     precise_dots=False, unroll=unroll)
+            x = res.x
+            total += int(res.niter)
+            if bool(res.converged):
+                break
+        return res, total
 
-    res = solve()                    # compile + warmup
+    res, iters = solve()             # compile + warmup
     res.x.block_until_ready()
-    log(f"warmup solve: iters={int(res.niter)} "
+    log(f"warmup solve: iters={iters} "
         f"converged={bool(res.converged)} rnorm={float(res.residual_norm):.3e}")
 
     t0 = time.perf_counter()
-    res = solve()
+    res, iters = solve()
     res.x.block_until_ready()
     solve_s = time.perf_counter() - t0
 
     energy = float(0.5 * jnp.vdot(res.x, f_dev))
-    iters = int(res.niter)
     log(f"solve: {solve_s:.3f}s, {iters} iters "
         f"({solve_s / max(iters, 1) * 1e3:.2f} ms/iter), energy={energy:.6e}")
     dof_iters_per_s = mesh.n_dofs * iters / solve_s

@@ -33,20 +33,27 @@ import numpy as np
 from ..mesh import DIM, DeviceMesh, Mesh, element_dofs
 from ..ops.elements import (apply_element_stiffness, element_stiffness,
                             element_volumes, physical_gradients)
-from ..ops.scatter import ScatterPlan
+from ..ops.scatter import RowScatterPlan, ScatterPlan
 
 
 @dataclasses.dataclass(frozen=True)
 class StiffnessOperator:
-    """Pytree: the matrix-free K with optional BC mask."""
+    """Pytree: the matrix-free K with optional BC mask.
+
+    ``plan`` is either a :class:`RowScatterPlan` (default — node-row
+    gathers + incidence-gather scatter, the layouts TPU lowers at
+    bandwidth; see ops/scatter.py) or a :class:`ScatterPlan`
+    (flat-dof sorted segment_sum)."""
 
     dmesh: DeviceMesh
-    plan: ScatterPlan
+    plan: object                # RowScatterPlan | ScatterPlan
     lam: jnp.ndarray            # [C] per-element lambda (SIMP-ready)
     mu: jnp.ndarray             # [C] per-element mu
     free_mask: jnp.ndarray      # [ndof] 1.0 free / 0.0 fixed
     ke: Optional[jnp.ndarray]   # [C, ek, ek] stored-mode stiffness batch
     order: int = dataclasses.field(metadata={"static": True})
+    use_pallas: bool = dataclasses.field(default=False,
+                                         metadata={"static": True})
 
     # -- construction -------------------------------------------------------
 
@@ -54,26 +61,60 @@ class StiffnessOperator:
     def build(dmesh: DeviceMesh, lam, mu,
               free_mask: Optional[jnp.ndarray] = None,
               mode: str = "otf", order: int = 2,
-              plan: Optional[ScatterPlan] = None) -> "StiffnessOperator":
+              plan=None, layout: str = "row",
+              use_pallas: Optional[bool] = None) -> "StiffnessOperator":
         C = dmesh.conn.shape[0]
         dtype = dmesh.coords.dtype
         lam = jnp.broadcast_to(jnp.asarray(lam, dtype), (C,))
         mu = jnp.broadcast_to(jnp.asarray(mu, dtype), (C,))
         if plan is None:
-            plan = ScatterPlan.build(np.asarray(dmesh.edofs),
-                                     DIM * dmesh.coords.shape[0])
+            if layout == "row":
+                plan = RowScatterPlan.build(np.asarray(dmesh.conn),
+                                            dmesh.coords.shape[0])
+            else:
+                plan = ScatterPlan.build(np.asarray(dmesh.edofs),
+                                         DIM * dmesh.coords.shape[0])
         if free_mask is None:
-            free_mask = jnp.ones((plan.n_dofs,), dtype)
+            n_dofs_p = (DIM * plan.n_nodes
+                        if isinstance(plan, RowScatterPlan)
+                        else plan.n_dofs)
+            free_mask = jnp.ones((n_dofs_p,), dtype)
         ke = None
         if mode == "stored":
             coords_e = dmesh.coords[dmesh.conn]
             ke = element_stiffness(coords_e, lam, mu, dmesh.element_type,
                                    order)
-        return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke, order)
+        if use_pallas is None:
+            # fused Pallas apply: 15x faster than the einsum lowering on
+            # TPU (tools/tpu_bisect7); interpret mode would slow CPU runs
+            import jax as _jax
+            use_pallas = (_jax.default_backend() == "tpu"
+                          and dmesh.element_type == "tet4"
+                          and mode == "otf")
+        return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke,
+                                 order, bool(use_pallas))
 
     @property
     def n_dofs(self) -> int:
+        if isinstance(self.plan, RowScatterPlan):
+            return DIM * self.plan.n_nodes
         return self.plan.n_dofs
+
+    # -- unified row-shaped data movement ------------------------------------
+
+    def _gather_rows(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[ndof] → [C, k, 3]."""
+        if isinstance(self.plan, RowScatterPlan):
+            return self.plan.gather(u)
+        k = self.dmesh.conn.shape[1]
+        return self.plan.gather(u).reshape(-1, k, DIM)
+
+    def _scatter_rows(self, f_e: jnp.ndarray) -> jnp.ndarray:
+        """[C, k, ...] → flat [ndof * (...//3)] global accumulation."""
+        if isinstance(self.plan, RowScatterPlan):
+            return self.plan.scatter_add(f_e).reshape(-1)
+        C, k = self.dmesh.conn.shape
+        return self.plan.scatter_add(f_e.reshape(C, -1))
 
     def with_free_mask(self, free_mask: jnp.ndarray) -> "StiffnessOperator":
         return dataclasses.replace(
@@ -97,15 +138,22 @@ class StiffnessOperator:
         """K @ u without BC masking."""
         dm = self.dmesh
         k = dm.conn.shape[1]
-        u_e = self.plan.gather(u)                       # [C, 3k]
+        u_e = self._gather_rows(u)                      # [C, k, 3]
         if self.ke is not None:
-            f_e = jnp.einsum("cij,cj->ci", self.ke, u_e)
+            f_e = jnp.einsum("cij,cj->ci", self.ke,
+                             u_e.reshape(-1, k * DIM)).reshape(-1, k, DIM)
+        elif self.use_pallas and dm.element_type == "tet4":
+            from ..ops.pallas_kernels import tet4_apply_pallas
+            coords_e = dm.coords[dm.conn]
+            # the 1-point rule the kernel uses is exact for tet4 at any
+            # requested quadrature order (constant strain)
+            f_e = tet4_apply_pallas(coords_e, u_e, self.lam, self.mu)
         else:
             coords_e = dm.coords[dm.conn]
             f_e = apply_element_stiffness(
-                coords_e, u_e.reshape(-1, k, DIM), self.lam, self.mu,
-                dm.element_type, self.order).reshape(-1, k * DIM)
-        return self.plan.scatter_add(f_e)
+                coords_e, u_e, self.lam, self.mu,
+                dm.element_type, self.order)
+        return self._scatter_rows(f_e)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """Constrained operator A'(u) = m*A(m*u) + (1-m)*u."""
@@ -129,8 +177,7 @@ class StiffnessOperator:
                        wdet * (self.lam + self.mu)[:, None], g2) \
             + jnp.einsum("cq,cqka->cka", wdet * self.mu[:, None],
                          jnp.broadcast_to(norm2, g2.shape))
-        k = dm.conn.shape[1]
-        return self.plan.scatter_add(d.reshape(-1, k * DIM))
+        return self._scatter_rows(d)
 
     def diagonal(self) -> jnp.ndarray:
         """diag of the constrained operator (fixed dofs get 1.0)."""
@@ -180,12 +227,13 @@ class StiffnessOperator:
 
 def _op_flatten(op: StiffnessOperator):
     return ((op.dmesh, op.plan, op.lam, op.mu, op.free_mask, op.ke),
-            (op.order,))
+            (op.order, op.use_pallas))
 
 
 def _op_unflatten(aux, leaves):
     dmesh, plan, lam, mu, free_mask, ke = leaves
-    return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke, aux[0])
+    return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke, aux[0],
+                             aux[1])
 
 
 jax.tree_util.register_pytree_node(StiffnessOperator, _op_flatten,

@@ -91,8 +91,9 @@ def _dot(a, b, precise):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "record_history",
-                                   "precise_dots"))
-def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
+                                   "precise_dots", "unroll"))
+def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots,
+             unroll):
     r = b - A.matvec(x0)
     z = apply_preconditioner(M, r)
     p = z
@@ -107,8 +108,7 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         _, _, _, _, it, rnorm, _ = state
         return jnp.logical_and(it < maxiter, rnorm > eps)
 
-    def body(state):
-        x, r, p, rz, it, _, hist = state
+    def one_iteration(x, r, p, rz, it, hist):
         Ap = A.matvec(p)
         pAp = _dot(p, Ap, precise_dots)
         alpha = (rz / jnp.where(pAp == 0, 1.0, pAp)).astype(b.dtype)
@@ -118,11 +118,21 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         rz_new = _dot(r, z, precise_dots)
         beta = (rz_new / jnp.where(rz == 0, 1.0, rz)).astype(b.dtype)
         p = z + beta * p
-        rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
         it = it + 1
         if record_history:
-            hist = hist.at[it].set(rnorm.astype(precise_dtype()))
-        return x, r, p, rz_new, it, rnorm, hist
+            rn = jnp.sqrt(_dot(r, r, precise_dots)).real
+            hist = hist.at[it].set(rn.astype(precise_dtype()))
+        return x, r, p, rz_new, it, hist
+
+    def body(state):
+        x, r, p, rz, it, _, hist = state
+        # `unroll` CG iterations per loop step: on backends with per-step
+        # dispatch overhead (axon tunnel ~5 ms/step, tools/tpu_bisect5)
+        # this amortizes the fixed cost without changing the math
+        for _ in range(unroll):
+            x, r, p, rz, it, hist = one_iteration(x, r, p, rz, it, hist)
+        rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
+        return x, r, p, rz, it, rnorm, hist
 
     state = (x0, r, p, rz, jnp.int32(0), rnorm0, hist0)
     x, r, p, rz, it, rnorm, hist = jax.lax.while_loop(cond, body, state)
@@ -132,7 +142,7 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
 def cg(A, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
        M: Optional[jnp.ndarray] = None, tol: float = 1e-8,
        maxiter: int = 10000, record_history: bool = False,
-       precise_dots: bool = True) -> KrylovResult:
+       precise_dots: bool = True, unroll: int = 1) -> KrylovResult:
     """Preconditioned conjugate gradients for SPD operators.
 
     Equivalent of the reference's ``Krylov.cg`` path
@@ -144,7 +154,7 @@ def cg(A, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         x0 = jnp.zeros_like(b)
     x, it, rnorm, conv, hist = _cg_impl(
         A, b, x0, jnp.asarray(tol, precise_dtype()), M, int(maxiter),
-        bool(record_history), bool(precise_dots))
+        bool(record_history), bool(precise_dots), int(unroll))
     return KrylovResult(x, it, rnorm, conv,
                         hist if record_history else None)
 

@@ -65,3 +65,65 @@ def _sp_unflatten(aux, leaves):
 
 
 jax.tree_util.register_pytree_node(ScatterPlan, _sp_flatten, _sp_unflatten)
+
+
+@dataclasses.dataclass(frozen=True)
+class RowScatterPlan:
+    """Node-row gather/scatter plan in TPU-friendly layouts.
+
+    TPU profiling (tools/tpu_bisect5/6) showed XLA lowers flat dof gathers
+    ``u[edofs]`` and ``segment_sum`` scatters to near-scalar code on TPU,
+    while *row* gathers ``u2d[conn]`` (slice size [1,3]) run at bandwidth.
+    This plan keeps all DOF traffic row-shaped and scatter-free:
+
+    - gather: ``u.reshape(N,3)[conn]`` → [C, k, 3]
+    - scatter: precomputed node→contribution incidence table padded to the
+      max node degree; the scatter-add becomes a row *gather* + sum over
+      the (static) degree axis.  Exact summation — no cumsum cancellation.
+    """
+
+    incidence: jnp.ndarray   # [N, D] int32 indices into flat [C*k] (+1 pad)
+    conn: jnp.ndarray        # [C, k] int32
+    n_nodes: int = dataclasses.field(metadata={"static": True})
+
+    @staticmethod
+    def build(conn_np: np.ndarray, n_nodes: int) -> "RowScatterPlan":
+        flat = conn_np.reshape(-1).astype(np.int64)
+        M = flat.size
+        perm = np.argsort(flat, kind="stable")
+        sorted_nodes = flat[perm]
+        starts = np.searchsorted(sorted_nodes, np.arange(n_nodes), "left")
+        ends = np.searchsorted(sorted_nodes, np.arange(n_nodes), "right")
+        degree = ends - starts
+        D = max(int(degree.max()) if len(degree) else 1, 1)
+        # sentinel M points at an appended zero row
+        inc = np.full((n_nodes, D), M, dtype=np.int64)
+        col = np.concatenate([np.arange(d) for d in degree]) \
+            if degree.sum() else np.zeros(0, np.int64)
+        rows = np.repeat(np.arange(n_nodes), degree)
+        inc[rows, col] = perm
+        return RowScatterPlan(
+            incidence=jnp.asarray(inc.astype(np.int32)),
+            conn=jnp.asarray(conn_np.astype(np.int32)),
+            n_nodes=int(n_nodes))
+
+    @property
+    def max_degree(self) -> int:
+        return self.incidence.shape[1]
+
+    def gather(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[ndof] or [N,3] → element rows [C, k, 3]."""
+        return u.reshape(-1, 3)[self.conn]
+
+    def scatter_add(self, contrib: jnp.ndarray) -> jnp.ndarray:
+        """Element rows [C, k, 3] → node rows [N, 3], gather-only."""
+        vals = contrib.reshape(-1, 3)
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((1, 3), contrib.dtype)], axis=0)
+        return jnp.sum(vals[self.incidence], axis=1)
+
+
+jax.tree_util.register_pytree_node(
+    RowScatterPlan,
+    lambda p: ((p.incidence, p.conn), (p.n_nodes,)),
+    lambda aux, leaves: RowScatterPlan(*leaves, aux[0]))
