@@ -27,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..materials import SIMPMaterial, lame_parameters
 from ..mesh import DIM, Mesh
 from ..ops.elements import physical_gradients
-from ..ops.scatter import ScatterPlan
+from ..ops.scatter import RowScatterPlan
 from ..mesh import element_dofs
 
 
@@ -37,7 +37,7 @@ class SweepKernel:
 
     g: jnp.ndarray          # [C, q, k, 3] physical gradients
     wdet: jnp.ndarray       # [C, q]
-    plan: ScatterPlan
+    plan: RowScatterPlan
     free_mask: jnp.ndarray  # [ndof]
     nu: float = dataclasses.field(metadata={"static": True})
 
@@ -47,7 +47,7 @@ class SweepKernel:
         dmesh = mesh.device(dtype=dtype)
         g, wdet = physical_gradients(dmesh.coords[dmesh.conn],
                                      mesh.element_type, order)
-        plan = ScatterPlan.build(element_dofs(mesh.conn), mesh.n_dofs)
+        plan = RowScatterPlan.build(mesh.conn, mesh.n_nodes)
         return SweepKernel(g=g, wdet=wdet, plan=plan,
                            free_mask=jnp.asarray(free_mask, dtype),
                            nu=float(nu))
@@ -58,8 +58,7 @@ class SweepKernel:
         """A(u) with per-element Young's-modulus scale ``escale [C]``."""
         m = self.free_mask
         um = m * u
-        k = self.g.shape[2]
-        u_e = self.plan.gather(um).reshape(-1, k, DIM)
+        u_e = self.plan.gather(um)
         lam0, mu0 = lame_parameters(1.0, self.nu)
         grad_u = jnp.einsum("cqkb,cka->cqab", self.g, u_e)
         eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
@@ -68,7 +67,7 @@ class SweepKernel:
         sigma = (lam0 * tr[..., None, None] * eye + 2.0 * mu0 * eps)
         w = self.wdet * escale[:, None]
         f_e = jnp.einsum("cq,cqab,cqkb->cka", w, sigma, self.g)
-        f = self.plan.scatter_add(f_e.reshape(-1, k * DIM))
+        f = self.plan.scatter_add(f_e).reshape(-1)
         return m * f + (1.0 - m) * u
 
     def diagonal(self, escale: jnp.ndarray) -> jnp.ndarray:
@@ -79,8 +78,7 @@ class SweepKernel:
         d = (jnp.einsum("cq,cqka->cka", w * (lam0 + mu0), g2)
              + jnp.einsum("cq,cqka->cka", w * mu0,
                           jnp.broadcast_to(norm2, g2.shape)))
-        k = self.g.shape[2]
-        diag = self.plan.scatter_add(d.reshape(-1, k * DIM))
+        diag = self.plan.scatter_add(d).reshape(-1)
         m = self.free_mask
         return m * m * diag + (1.0 - m)
 
