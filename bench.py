@@ -65,11 +65,13 @@ def main():
                                  mode="otf", order=1)
     f_dev = jnp.asarray(f, dtype) * op.free_mask
 
-    # --- assembly throughput (Ke batch from coords) ------------------------
+    # --- assembly throughput (fused Pallas Ke batch from coords) -----------
+    from topopteval_tpu.ops.pallas_kernels import \
+        tet4_element_stiffness_pallas
     coords_e = dmesh.coords[dmesh.conn]
-    ke_fn = jax.jit(lambda ce: element_stiffness(
+    ke_fn = jax.jit(lambda ce: tet4_element_stiffness_pallas(
         ce, jnp.full(ce.shape[0], lam, dtype),
-        jnp.full(ce.shape[0], mu, dtype), mesh.element_type, 2))
+        jnp.full(ce.shape[0], mu, dtype), transpose_out=False))
     ke = ke_fn(coords_e)
     ke.block_until_ready()          # compile + warmup
     reps = 3

@@ -89,11 +89,17 @@ def _tet4_ke_kernel(coords_ref, lam_ref, mu_ref, out_ref):
                     out_ref[(3 * i + a) * 12 + (3 * j + b), :] = val
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "transpose_out"))
 def tet4_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
                                   mu: jnp.ndarray, block: int = DEF_BLOCK,
-                                  interpret: bool = False) -> jnp.ndarray:
-    """Fused Tet4 Ke batch: [C,4,3], [C], [C] -> [C,12,12]."""
+                                  interpret: bool = False,
+                                  transpose_out: bool = True) -> jnp.ndarray:
+    """Fused Tet4 Ke batch: [C,4,3], [C], [C] -> [C,12,12].
+
+    ``transpose_out=False`` returns the kernel-native [144, C] layout
+    (element on lanes) — the layout a stored-Ke matvec kernel consumes —
+    skipping a 576 B/elem transpose."""
     C = coords_e.shape[0]
     Cp = _cdiv(C, block) * block
     ct = jnp.swapaxes(coords_e.reshape(C, 12), 0, 1)        # [12, C]
@@ -117,6 +123,8 @@ def tet4_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((144, Cp), coords_e.dtype),
         interpret=interpret,
     )(ct, lam2, mu2)
+    if not transpose_out:
+        return out[:, :C]
     return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 12, 12)
 
 
