@@ -89,30 +89,36 @@ def main():
     # chunked unrolled PCG: <=CHUNK iterations per device program (the axon
     # runtime kills long-running programs), 8 CG iterations per loop step
     # (amortizes the ~5 ms/step dispatch overhead, tools/tpu_bisect5)
-    tol, chunk, max_chunks, unroll = 1e-6, 2000, 10, 8
+    tol, unroll = 1e-6, 8
+    # keep each device program under the axon runtime's execution watchdog
+    chunk = 2000 if mesh.n_cells <= 300_000 else 600
+    max_chunks = 60
 
     M = block_jacobi_preconditioner(op.node_blocks_raw(), op.free_mask)
     M.block_until_ready()
 
-    def solve():
+    def solve(verbose=False):
         x = None
         total = 0
-        for _ in range(max_chunks):
+        for ci in range(max_chunks):
             res = cg(op, f_dev, x0=x, M=M, tol=tol, maxiter=chunk,
                      precise_dots=False, unroll=unroll)
             x = res.x
             total += int(res.niter)
+            if verbose:
+                log(f"  chunk {ci}: +{int(res.niter)} iters, "
+                    f"rnorm={float(res.residual_norm):.3e}")
             if bool(res.converged):
                 break
         return res, total
 
-    res, iters = solve()             # compile + warmup
+    res, iters = solve(verbose=True)  # compile + warmup
     res.x.block_until_ready()
     log(f"warmup solve: iters={iters} "
         f"converged={bool(res.converged)} rnorm={float(res.residual_norm):.3e}")
 
     t0 = time.perf_counter()
-    res, iters = solve()
+    res, iters = solve(verbose=True)
     res.x.block_until_ready()
     solve_s = time.perf_counter() - t0
 
