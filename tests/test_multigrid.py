@@ -1,0 +1,99 @@
+"""Geometric multigrid tests: transfer transpose property, V-cycle SPD,
+MG-PCG convergence + oracle parity, iteration-count superiority."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopteval_tpu.fem.bc import (DirichletBC, free_mask_from_bcs,
+                                   nodes_at_plane)
+from topopteval_tpu.fem.multigrid import (Transfer, build_structured_multigrid,
+                                          build_transfer_tables)
+from topopteval_tpu.fem.operator import assemble_scipy
+from topopteval_tpu.fem.solvers import (block_jacobi_preconditioner, cg,
+                                        direct_solve)
+from topopteval_tpu.materials import lame_parameters
+
+LAM, MU = lame_parameters(1.0, 0.3)
+
+
+def test_transfer_transpose_property():
+    parents, weights, inc = build_transfer_tables(4, 2, 2)
+    t = Transfer(jnp.asarray(parents), jnp.asarray(weights),
+                 jnp.asarray(inc))
+    rng = np.random.default_rng(0)
+    N_f = parents.shape[0]
+    N_c = 3 * 2 * 2 // 8  # placeholder; infer from incidence shape
+    N_c = inc.shape[0]
+    uc = jnp.asarray(rng.standard_normal((N_c, 3)))
+    rf = jnp.asarray(rng.standard_normal((N_f, 3)))
+    lhs = float(jnp.vdot(t.prolong(uc), rf))
+    rhs = float(jnp.vdot(uc, t.restrict(rf)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_prolong_partition_of_unity():
+    parents, weights, inc = build_transfer_tables(4, 4, 2)
+    t = Transfer(jnp.asarray(parents), jnp.asarray(weights),
+                 jnp.asarray(inc))
+    ones = jnp.ones((inc.shape[0], 3))
+    np.testing.assert_allclose(np.asarray(t.prolong(ones)), 1.0,
+                               rtol=1e-14)
+
+
+@pytest.fixture(scope="module")
+def mg_problem():
+    mesh, op, mg = build_structured_multigrid(
+        16, 8, 4, (0, 0, 0), (16.0, 8.0, 4.0), LAM, MU,
+        dtype=jnp.float64, min_coarse_dofs=500)
+    rng = np.random.default_rng(1)
+    tip = nodes_at_plane(mesh, 0, 16.0)
+    f = np.zeros(mesh.n_dofs)
+    f[tip * 3 + 2] = -1.0 / tip.size
+    f_dev = jnp.asarray(f) * op.free_mask
+    return mesh, op, mg, f_dev
+
+
+def test_vcycle_is_symmetric(mg_problem):
+    mesh, op, mg, f = mg_problem
+    rng = np.random.default_rng(2)
+    r1 = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
+    r2 = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
+    a = float(jnp.vdot(mg.apply(r1), r2))
+    b = float(jnp.vdot(r1, mg.apply(r2)))
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+
+
+def test_mg_pcg_matches_oracle_with_few_iterations(mg_problem):
+    mesh, op, mg, f = mg_problem
+    res = cg(op, f, M=mg, tol=1e-10, maxiter=200)
+    assert bool(res.converged)
+    assert int(res.niter) < 40, f"MG-PCG took {int(res.niter)} iters"
+
+    # oracle
+    mask = np.asarray(op.free_mask)
+    K = assemble_scipy(mesh, LAM, MU, free_mask=mask)
+    u_o = direct_solve(K, np.asarray(f))
+    err = np.linalg.norm(np.asarray(res.x) - u_o) / np.linalg.norm(u_o)
+    assert err < 1e-7, f"u err {err:.2e}"
+
+    # iteration superiority vs block-Jacobi
+    bj = block_jacobi_preconditioner(op.node_blocks_raw(), op.free_mask)
+    res_bj = cg(op, f, M=bj, tol=1e-10, maxiter=5000)
+    assert int(res.niter) * 5 < int(res_bj.niter), (
+        f"MG {int(res.niter)} vs BJ {int(res_bj.niter)}")
+
+
+def test_mg_f32(mg_problem):
+    """fp32 hierarchy converges to fp32-floor tolerance."""
+    mesh32, op32, mg32 = build_structured_multigrid(
+        16, 8, 4, (0, 0, 0), (16.0, 8.0, 4.0), LAM, MU,
+        dtype=jnp.float32, min_coarse_dofs=500)
+    tip = nodes_at_plane(mesh32, 0, 16.0)
+    f = np.zeros(mesh32.n_dofs)
+    f[tip * 3 + 2] = -1.0 / tip.size
+    f32 = jnp.asarray(f, jnp.float32) * op32.free_mask
+    res = cg(op32, f32, M=mg32, tol=1e-5, maxiter=100,
+             precise_dots=False)
+    assert bool(res.converged)
+    assert int(res.niter) < 40

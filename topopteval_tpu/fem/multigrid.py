@@ -1,0 +1,275 @@
+"""Geometric multigrid preconditioner for structured box meshes.
+
+The reference's entire answer to large problems is switching from the
+direct factorization to Jacobi-preconditioned Krylov methods
+(reference: FiniteElementAnalysis.jl:570-598; RobustSolver.jl:196-216) —
+O(n^(1/3)) iteration growth.  The TPU-native scaling answer built here is
+a matrix-free geometric V-cycle on the nested structured grids the
+benchmark/model meshes come from (models/beams.py): trilinear transfer
+operators expressed as row gathers / incidence-gather scatters (the TPU
+layouts from ops/scatter.py), damped block-Jacobi smoothing, and an exact
+dense solve on the coarsest level — giving mesh-independent CG iteration
+counts.
+
+Used as the preconditioner ``M`` of :func:`..fem.solvers.cg` (symmetric
+V-cycle with symmetric smoother + exact coarse solve → SPD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import DIM, Mesh
+from ..models.beams import generate_grid_hex, generate_grid_tet
+from .operator import StiffnessOperator
+from .solvers import block_jacobi_preconditioner
+
+
+# ---------------------------------------------------------------------------
+# Transfer operators between nested structured node lattices
+# ---------------------------------------------------------------------------
+
+
+def _axis_parents(i: int) -> Tuple[Tuple[int, float], ...]:
+    if i % 2 == 0:
+        return ((i // 2, 1.0),)
+    return ((i // 2, 0.5), (i // 2 + 1, 0.5))
+
+
+def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
+    """Trilinear prolongation tables between node lattices of a
+    (nx_f, ny_f, nz_f)-cell box and its 2x-coarsened counterpart.
+
+    Returns (parents [N_f, 8], weights [N_f, 8], incidence [N_c, Dc],
+    contrib_weights flattened order matching parents) as NumPy arrays.
+    """
+    assert nx_f % 2 == ny_f % 2 == nz_f % 2 == 0, "cells must be even"
+    nxc, nyc, nzc = nx_f // 2, ny_f // 2, nz_f // 2
+
+    def fid(ix, iy, iz):
+        return ix + iy * (nx_f + 1) + iz * (nx_f + 1) * (ny_f + 1)
+
+    def cid(ix, iy, iz):
+        return ix + iy * (nxc + 1) + iz * (nxc + 1) * (nyc + 1)
+
+    N_f = (nx_f + 1) * (ny_f + 1) * (nz_f + 1)
+    N_c = (nxc + 1) * (nyc + 1) * (nzc + 1)
+    parents = np.zeros((N_f, 8), dtype=np.int32)
+    weights = np.zeros((N_f, 8), dtype=np.float64)
+    for iz in range(nz_f + 1):
+        pz = _axis_parents(iz)
+        for iy in range(ny_f + 1):
+            py = _axis_parents(iy)
+            for ix in range(nx_f + 1):
+                px = _axis_parents(ix)
+                f = fid(ix, iy, iz)
+                s = 0
+                for czi, wz in pz:
+                    for cyi, wy in py:
+                        for cxi, wx in px:
+                            parents[f, s] = cid(cxi, cyi, czi)
+                            weights[f, s] = wx * wy * wz
+                            s += 1
+    # restriction = P^T: incidence of (fine, slot) contributions per coarse
+    flat_targets = parents.reshape(-1).astype(np.int64)      # [N_f*8]
+    order = np.argsort(flat_targets, kind="stable")
+    sorted_t = flat_targets[order]
+    starts = np.searchsorted(sorted_t, np.arange(N_c), "left")
+    ends = np.searchsorted(sorted_t, np.arange(N_c), "right")
+    degree = ends - starts
+    Dc = int(degree.max())
+    inc = np.full((N_c, Dc), N_f * 8, dtype=np.int64)        # sentinel
+    col = np.concatenate([np.arange(d) for d in degree])
+    rows = np.repeat(np.arange(N_c), degree)
+    inc[rows, col] = order
+    return parents, weights, inc.astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Transfer:
+    """Prolongation (coarse→fine) / restriction (fine→coarse) pair."""
+
+    parents: jnp.ndarray    # [N_f, 8] int32
+    weights: jnp.ndarray    # [N_f, 8]
+    incidence: jnp.ndarray  # [N_c, Dc] int32 into [N_f*8] flat (+ sentinel)
+
+    def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
+        """[N_c, 3] → [N_f, 3]: row gathers + weighted sum."""
+        rows = u_c[self.parents]                             # [N_f, 8, 3]
+        return jnp.sum(rows * self.weights[:, :, None], axis=1)
+
+    def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
+        """[N_f, 3] → [N_c, 3]: P^T via incidence gather."""
+        contrib = (self.weights[:, :, None]
+                   * r_f[:, None, :]).reshape(-1, 3)         # [N_f*8, 3]
+        contrib = jnp.concatenate(
+            [contrib, jnp.zeros((1, 3), r_f.dtype)], axis=0)
+        return jnp.sum(contrib[self.incidence], axis=1)
+
+
+jax.tree_util.register_pytree_node(
+    Transfer,
+    lambda t: ((t.parents, t.weights, t.incidence), None),
+    lambda aux, leaves: Transfer(*leaves))
+
+
+# ---------------------------------------------------------------------------
+# Multigrid hierarchy
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MGLevel:
+    op: StiffnessOperator        # constrained operator at this level
+    binv: jnp.ndarray            # [N, 3, 3] block-Jacobi inverse blocks
+    transfer: Optional[Transfer]  # to the next coarser level (None=coarsest)
+
+
+jax.tree_util.register_pytree_node(
+    MGLevel, lambda l: ((l.op, l.binv, l.transfer), None),
+    lambda aux, leaves: MGLevel(*leaves))
+
+
+@dataclasses.dataclass(frozen=True)
+class MultigridPreconditioner:
+    """Symmetric V-cycle: pre/post damped block-Jacobi smoothing + exact
+    dense coarse solve.  Drop-in ``M`` for :func:`..fem.solvers.cg`
+    (``apply_preconditioner`` dispatches on the ``apply`` method)."""
+
+    levels: Tuple[MGLevel, ...]
+    coarse_inv: jnp.ndarray      # [n_dofs_c, n_dofs_c] dense inverse
+    omega: float = dataclasses.field(default=0.9,
+                                     metadata={"static": True})
+    nu: int = dataclasses.field(default=2, metadata={"static": True})
+
+    def _smooth(self, L: MGLevel, r2d, z2d, sweeps: int):
+        for s in range(sweeps):
+            if z2d is None:
+                res = r2d
+            else:
+                Az = L.op.matvec(z2d.reshape(-1)).reshape(-1, 3)
+                res = r2d - Az
+            dz = jnp.einsum("nab,nb->na", L.binv, res)
+            z2d = self.omega * dz if z2d is None else z2d + self.omega * dz
+        return z2d
+
+    def _vcycle(self, lvl: int, r2d):
+        if lvl == len(self.levels):
+            return (self.coarse_inv @ r2d.reshape(-1)).reshape(-1, 3)
+        L = self.levels[lvl]
+        z = self._smooth(L, r2d, None, self.nu)
+        Az = L.op.matvec(z.reshape(-1)).reshape(-1, 3)
+        res = r2d - Az
+        m_f = L.op.free_mask.reshape(-1, 3)
+        rc = L.transfer.restrict(res * m_f)
+        if lvl + 1 < len(self.levels):
+            m_c = self.levels[lvl + 1].op.free_mask.reshape(-1, 3)
+        else:
+            m_c = 1.0
+        zc = self._vcycle(lvl + 1, rc * m_c)
+        z = z + L.transfer.prolong(zc) * m_f
+        z = self._smooth(L, r2d, z, self.nu)
+        return z
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        return self._vcycle(0, r.reshape(-1, 3)).reshape(r.shape)
+
+
+jax.tree_util.register_pytree_node(
+    MultigridPreconditioner,
+    lambda m: ((m.levels, m.coarse_inv), (m.omega, m.nu)),
+    lambda aux, leaves: MultigridPreconditioner(tuple(leaves[0]), leaves[1],
+                                                aux[0], aux[1]))
+
+
+def build_structured_multigrid(
+        nx: int, ny: int, nz: int,
+        lo: Sequence[float], hi: Sequence[float],
+        lam: float, mu: float,
+        fixed_plane_axis: int = 0,
+        fixed_plane_value: Optional[float] = None,
+        element: str = "tet4",
+        n_levels: Optional[int] = None,
+        min_coarse_dofs: int = 4000,
+        dtype=jnp.float32,
+        omega: float = 0.9, nu: int = 2,
+        use_pallas: Optional[bool] = None,
+) -> Tuple[Mesh, StiffnessOperator, MultigridPreconditioner]:
+    """Hierarchy over a structured box: returns (fine mesh, fine operator,
+    V-cycle preconditioner).  Cell counts must be divisible by 2^(levels-1).
+    """
+    from .bc import DirichletBC, free_mask_from_bcs, nodes_at_plane
+
+    gen = generate_grid_tet if element == "tet4" else generate_grid_hex
+    if fixed_plane_value is None:
+        fixed_plane_value = float(lo[fixed_plane_axis])
+
+    # decide level count
+    dims = [nx, ny, nz]
+    max_levels = 1
+    while all(d % (2 ** max_levels) == 0 for d in dims) \
+            and min(d // 2 ** max_levels for d in dims) >= 1:
+        max_levels += 1
+    if n_levels is None:
+        n_levels = max_levels
+        # stop coarsening below min_coarse_dofs
+        while n_levels > 1:
+            f = 2 ** (n_levels - 1)
+            ndofs_c = 3 * (nx // f + 1) * (ny // f + 1) * (nz // f + 1)
+            if ndofs_c >= min_coarse_dofs or n_levels == 1:
+                break
+            n_levels -= 1
+    n_levels = min(n_levels, max_levels)
+
+    levels = []
+    fine_mesh = None
+    fine_op = None
+    for li in range(n_levels):
+        f = 2 ** li
+        cnx, cny, cnz = nx // f, ny // f, nz // f
+        mesh = gen(cnx, cny, cnz, lo, hi)
+        fixed = nodes_at_plane(mesh, fixed_plane_axis, fixed_plane_value,
+                               tol=1e-9)
+        mask = free_mask_from_bcs(mesh.n_dofs,
+                                  [DirichletBC.fixed(fixed)])
+        dmesh = mesh.device(dtype=dtype)
+        op = StiffnessOperator.build(dmesh, lam, mu,
+                                     free_mask=jnp.asarray(mask, dtype),
+                                     mode="otf", order=1,
+                                     use_pallas=use_pallas)
+        binv = block_jacobi_preconditioner(op.node_blocks_raw(),
+                                           op.free_mask)
+        transfer = None
+        if li + 1 < n_levels:
+            parents, weights, inc = build_transfer_tables(cnx, cny, cnz)
+            transfer = Transfer(jnp.asarray(parents),
+                                jnp.asarray(weights, dtype),
+                                jnp.asarray(inc))
+        levels.append(MGLevel(op, binv, transfer))
+        if li == 0:
+            fine_mesh, fine_op = mesh, op
+
+    # exact dense inverse of the coarsest constrained operator
+    coarsest = levels[-1].op
+    n_c = coarsest.n_dofs
+    eye = jnp.eye(n_c, dtype=dtype)
+    K_c = jax.vmap(coarsest.matvec, in_axes=1, out_axes=1)(eye)
+    # invert on host in fp64 (avoids device LAPACK custom calls; one-time);
+    # zero the fixed rows/cols so restricted residual components at coarse
+    # Dirichlet dofs cannot leak into the prolonged correction
+    inv_np = np.linalg.inv(np.asarray(K_c, dtype=np.float64))
+    m_c = np.asarray(coarsest.free_mask, dtype=np.float64)
+    coarse_inv = jnp.asarray(m_c[:, None] * inv_np * m_c[None, :], dtype)
+
+    # the recursion treats levels[-1] as having a transfer to the dense
+    # solve; represent by trimming: vcycle descends len(levels) levels where
+    # the last transfer maps to the dense-inverse space.  We therefore drop
+    # the coarsest MGLevel and keep its operator only via coarse_inv.
+    mg = MultigridPreconditioner(tuple(levels[:-1]), coarse_inv,
+                                 omega=omega, nu=nu)
+    return fine_mesh, fine_op, mg

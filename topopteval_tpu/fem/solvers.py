@@ -64,9 +64,13 @@ class KrylovResult:
 
 
 def apply_preconditioner(M, r):
-    """M is None | inv-diagonal [n] | inverted node blocks [n/3, 3, 3]."""
+    """M is None | inv-diagonal [n] | inverted node blocks [n/3, 3, 3] |
+    any pytree with an ``.apply(r)`` method (e.g. the multigrid V-cycle,
+    fem/multigrid.py)."""
     if M is None:
         return r
+    if hasattr(M, "apply"):
+        return M.apply(r)
     if M.ndim == 3:
         return jnp.einsum("nab,nb->na", M, r.reshape(-1, 3)).reshape(r.shape)
     return M * r
