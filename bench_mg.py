@@ -1,0 +1,124 @@
+"""Benchmark v2: ~1.2M-tet cantilever, matrix-free geometric-multigrid PCG.
+
+Same contract as bench.py (one JSON line), with the V-cycle preconditioner
+replacing block-Jacobi: mesh-independent iteration counts instead of the
+reference-style Jacobi-Krylov scaling.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.fem.multigrid import build_structured_multigrid
+    from topopteval_tpu.fem.solvers import cg
+    from topopteval_tpu.materials import lame_parameters
+    from topopteval_tpu.ops.pallas_kernels import \
+        tet4_element_stiffness_pallas
+    from topopteval_tpu.utils import set_verbosity
+
+    set_verbosity(False)
+    dtype = jnp.float32
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # cells must divide by 2^(levels-1); scale=16 -> 200x64x16 hexes
+    nx, ny, nz = 25 * scale // 2, 4 * scale, scale
+    lam, mu = lame_parameters(1.0, 0.3)
+
+    t0 = time.perf_counter()
+    mesh, op, mg = build_structured_multigrid(
+        nx, ny, nz, (0.0, 0.0, 0.0), (60.0, 20.0, 4.0), lam, mu,
+        dtype=dtype, omega=0.9, nu=2)
+    log(f"mesh: {mesh.n_cells} tets, {mesh.n_nodes} nodes, "
+        f"{mesh.n_dofs} dofs; {len(mg.levels) + 1} MG levels "
+        f"({time.perf_counter() - t0:.1f}s build)")
+
+    tip = nodes_at_plane(mesh, 0, 60.0)
+    f = np.zeros(mesh.n_dofs)
+    f[tip * 3 + 2] = -1.0 / tip.size
+    f_dev = jnp.asarray(f, dtype) * op.free_mask
+
+    # --- assembly throughput (fused Pallas Ke batch) ------------------------
+    dmesh = op.dmesh
+    coords_e = dmesh.coords[dmesh.conn]
+    ke_fn = jax.jit(lambda ce: tet4_element_stiffness_pallas(
+        ce, op.lam, op.mu, transpose_out=False))
+    ke = ke_fn(coords_e)
+    ke.block_until_ready()
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ke = ke_fn(coords_e)
+    ke.block_until_ready()
+    asm_s = (time.perf_counter() - t0) / reps
+    tets_per_s = mesh.n_cells / asm_s
+    log(f"assembly: {asm_s * 1e3:.1f} ms -> {tets_per_s:.3e} tets/s "
+        f"(target 1e8)")
+    del ke
+
+    # --- end-to-end MG-PCG solve --------------------------------------------
+    tol = 1e-6
+
+    def solve():
+        x = None
+        total = 0
+        for ci in range(8):
+            res = cg(op, f_dev, x0=x, M=mg, tol=tol, maxiter=50,
+                     precise_dots=False, unroll=2)
+            x = res.x
+            total += int(res.niter)
+            log(f"  chunk {ci}: +{int(res.niter)} iters, "
+                f"rnorm={float(res.residual_norm):.3e}")
+            if bool(res.converged):
+                break
+        return res, total
+
+    res, iters = solve()
+    res.x.block_until_ready()
+    log(f"warmup solve: iters={iters} converged={bool(res.converged)} "
+        f"rnorm={float(res.residual_norm):.3e}")
+
+    t0 = time.perf_counter()
+    res, iters = solve()
+    res.x.block_until_ready()
+    solve_s = time.perf_counter() - t0
+
+    energy = float(0.5 * jnp.vdot(res.x, f_dev))
+    log(f"solve: {solve_s:.3f}s, {iters} iters "
+        f"({solve_s / max(iters, 1) * 1e3:.1f} ms/iter), "
+        f"energy={energy:.6e}")
+
+    print(json.dumps({
+        "metric": "e2e_solve_seconds_1M_tet_beam",
+        "value": round(solve_s, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / solve_s, 3),
+        "detail": {
+            "n_tets": mesh.n_cells,
+            "n_dofs": mesh.n_dofs,
+            "solver": "MG-PCG (geometric V-cycle, block-Jacobi smoother)",
+            "cg_iters": iters,
+            "converged": bool(res.converged),
+            "tolerance": tol,
+            "energy": energy,
+            "assembly_tets_per_s": round(tets_per_s),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
