@@ -59,7 +59,10 @@ def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
 
     N_f = (nx_f + 1) * (ny_f + 1) * (nz_f + 1)
     N_c = (nxc + 1) * (nyc + 1) * (nzc + 1)
-    parents = np.zeros((N_f, 8), dtype=np.int32)
+    # unused slots point at the sentinel coarse id N_c (weight 0); padding
+    # with node 0 would concentrate millions of zero contributions on one
+    # coarse node and blow up the restriction incidence width
+    parents = np.full((N_f, 8), N_c, dtype=np.int32)
     weights = np.zeros((N_f, 8), dtype=np.float64)
     for iz in range(nz_f + 1):
         pz = _axis_parents(iz)
@@ -77,13 +80,14 @@ def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
                             s += 1
     # restriction = P^T: incidence of (fine, slot) contributions per coarse
     flat_targets = parents.reshape(-1).astype(np.int64)      # [N_f*8]
-    order = np.argsort(flat_targets, kind="stable")
+    real = np.flatnonzero(flat_targets < N_c)                # drop sentinels
+    order = real[np.argsort(flat_targets[real], kind="stable")]
     sorted_t = flat_targets[order]
     starts = np.searchsorted(sorted_t, np.arange(N_c), "left")
     ends = np.searchsorted(sorted_t, np.arange(N_c), "right")
     degree = ends - starts
     Dc = int(degree.max())
-    inc = np.full((N_c, Dc), N_f * 8, dtype=np.int64)        # sentinel
+    inc = np.full((N_c, Dc), N_f * 8, dtype=np.int64)        # zero-row pad
     col = np.concatenate([np.arange(d) for d in degree])
     rows = np.repeat(np.arange(N_c), degree)
     inc[rows, col] = order
@@ -99,8 +103,11 @@ class Transfer:
     incidence: jnp.ndarray  # [N_c, Dc] int32 into [N_f*8] flat (+ sentinel)
 
     def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
-        """[N_c, 3] → [N_f, 3]: row gathers + weighted sum."""
-        rows = u_c[self.parents]                             # [N_f, 8, 3]
+        """[N_c, 3] → [N_f, 3]: row gathers + weighted sum.  Sentinel
+        parent ids index an appended zero row."""
+        u_pad = jnp.concatenate(
+            [u_c, jnp.zeros((1, 3), u_c.dtype)], axis=0)
+        rows = u_pad[self.parents]                           # [N_f, 8, 3]
         return jnp.sum(rows * self.weights[:, :, None], axis=1)
 
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
