@@ -41,7 +41,7 @@ def main():
     t0 = time.perf_counter()
     mesh, op, mg = build_structured_multigrid(
         nx, ny, nz, (0.0, 0.0, 0.0), (60.0, 20.0, 4.0), lam, mu,
-        dtype=dtype, omega=0.9, nu=2)
+        dtype=dtype, omega=0.7, nu=2)
     log(f"mesh: {mesh.n_cells} tets, {mesh.n_nodes} nodes, "
         f"{mesh.n_dofs} dofs; {len(mg.levels) + 1} MG levels "
         f"({time.perf_counter() - t0:.1f}s build)")
