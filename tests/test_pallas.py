@@ -69,3 +69,23 @@ def test_pallas_handles_padding_blocks(batch):
     ke_ref = element_stiffness(coords_e, lam, mu, "tet4", 2)
     np.testing.assert_allclose(np.asarray(ke_pal), np.asarray(ke_ref),
                                rtol=1e-12)
+
+
+def test_hex8_apply_pallas_matches_einsum():
+    from topopteval_tpu.models.beams import generate_grid_hex
+    from topopteval_tpu.ops.pallas_kernels import hex8_apply_pallas
+    mesh = generate_grid_hex(3, 2, 2, (0, 0, 0), (1.3, 0.9, 1.1))
+    # perturb to non-affine hexes
+    rng = np.random.default_rng(4)
+    mesh.coords += 0.03 * rng.standard_normal(mesh.coords.shape)
+    dmesh = mesh.device(dtype=jnp.float64)
+    coords_e = dmesh.coords[dmesh.conn]
+    C = coords_e.shape[0]
+    lam = jnp.asarray(rng.uniform(0.3, 2.0, C))
+    mu = jnp.asarray(rng.uniform(0.3, 2.0, C))
+    u_e = jnp.asarray(rng.standard_normal((C, 8, 3)))
+    f_ref = apply_element_stiffness(coords_e, u_e, lam, mu, "hex8", 2)
+    f_pal = hex8_apply_pallas(coords_e, u_e, lam, mu, block=128,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               rtol=1e-11, atol=1e-12)

@@ -89,7 +89,7 @@ class StiffnessOperator:
             # TPU (tools/tpu_bisect7); interpret mode would slow CPU runs
             import jax as _jax
             use_pallas = (_jax.default_backend() == "tpu"
-                          and dmesh.element_type == "tet4"
+                          and dmesh.element_type in ("tet4", "hex8")
                           and mode == "otf")
         return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke,
                                  order, bool(use_pallas))
@@ -148,6 +148,10 @@ class StiffnessOperator:
             # the 1-point rule the kernel uses is exact for tet4 at any
             # requested quadrature order (constant strain)
             f_e = tet4_apply_pallas(coords_e, u_e, self.lam, self.mu)
+        elif self.use_pallas and dm.element_type == "hex8":
+            from ..ops.pallas_kernels import hex8_apply_pallas
+            coords_e = dm.coords[dm.conn]
+            f_e = hex8_apply_pallas(coords_e, u_e, self.lam, self.mu)
         else:
             coords_e = dm.coords[dm.conn]
             f_e = apply_element_stiffness(

@@ -190,3 +190,116 @@ def tet4_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
       jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
       jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
     return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Hex8 matrix-free element apply (2x2x2 Gauss, trilinear isoparametric)
+# ---------------------------------------------------------------------------
+
+_HEX_SIGNS_PY = [(-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+                 (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)]
+_G = 1.0 / np.sqrt(3.0)
+_HEX_QPS = [(sx * _G, sy * _G, sz * _G)
+            for sz in (-1, 1) for sy in (-1, 1) for sx in (-1, 1)]
+
+
+def _hex8_dn(xi):
+    """dN [8][3] python floats at one reference point."""
+    out = []
+    for sx, sy, sz in _HEX_SIGNS_PY:
+        out.append((
+            sx * (1 + sy * xi[1]) * (1 + sz * xi[2]) / 8.0,
+            (1 + sx * xi[0]) * sy * (1 + sz * xi[2]) / 8.0,
+            (1 + sx * xi[0]) * (1 + sy * xi[1]) * sz / 8.0,
+        ))
+    return out
+
+
+_HEX_DN = [_hex8_dn(q) for q in _HEX_QPS]   # [8 qp][8 node][3] constants
+
+
+def _inv3_scalars(J):
+    """J as [[...]] of [B] vectors -> (inv, det)."""
+    a, b, c = J[0]
+    d, e, f = J[1]
+    g, h, i = J[2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    det = a * A + d * B + g * C
+    safe = jnp.where(det == 0, jnp.ones_like(det), det)
+    idet = 1.0 / safe
+    inv = [[A * idet, B * idet, C * idet],
+           [(f * g - d * i) * idet, (a * i - c * g) * idet,
+            (c * d - a * f) * idet],
+           [(d * h - e * g) * idet, (b * g - a * h) * idet,
+            (a * e - b * d) * idet]]
+    return inv, det
+
+
+def _hex8_apply_kernel(coords_ref, u_ref, lam_ref, mu_ref, out_ref):
+    x = [[coords_ref[3 * k + a, :] for a in range(3)] for k in range(8)]
+    u = [[u_ref[3 * k + a, :] for a in range(3)] for k in range(8)]
+    lam = lam_ref[0, :]
+    mu = mu_ref[0, :]
+    f = [[None] * 3 for _ in range(8)]
+    for qp in range(8):
+        dn = _HEX_DN[qp]
+        # J[a][b] = sum_k x[k][a] dn[k][b]
+        J = [[sum(x[k][a] * dn[k][b] for k in range(8)) for b in range(3)]
+             for a in range(3)]
+        invJ, det = _inv3_scalars(J)
+        # g[k][a] = sum_b dn[k][b] invJ[b][a]
+        g = [[sum(dn[k][b] * invJ[b][a] for b in range(3))
+              for a in range(3)] for k in range(8)]
+        gu = [[sum(u[k][a] * g[k][b] for k in range(8)) for b in range(3)]
+              for a in range(3)]
+        tr = gu[0][0] + gu[1][1] + gu[2][2]
+        lam_tr = lam * tr
+        sig = [[mu * (gu[a][b] + gu[b][a]) + (lam_tr if a == b else 0.0)
+                for b in range(3)] for a in range(3)]
+        for k in range(8):
+            for a in range(3):
+                val = det * (sig[a][0] * g[k][0] + sig[a][1] * g[k][1]
+                             + sig[a][2] * g[k][2])
+                f[k][a] = val if f[k][a] is None else f[k][a] + val
+    for k in range(8):
+        for a in range(3):
+            out_ref[3 * k + a, :] = f[k][a]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def hex8_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
+                      lam: jnp.ndarray, mu: jnp.ndarray,
+                      block: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused f_e = Ke(coords, lam, mu) @ u_e for Hex8 batches
+    (2x2x2 Gauss, reference rule FiniteElementAnalysis.jl:163)."""
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+
+    def t(a):
+        return jnp.pad(jnp.swapaxes(a.reshape(C, -1), 0, 1),
+                       ((0, 0), (0, Cp - C)))
+
+    out = pl.pallas_call(
+        _hex8_apply_kernel,
+        grid=(Cp // block,),
+        in_specs=[
+            pl.BlockSpec((24, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((24, Cp), coords_e.dtype),
+        interpret=interpret,
+    )(t(coords_e), t(u_e),
+      jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
+      jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
+    return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 8, 3)
