@@ -31,7 +31,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,7 +41,7 @@ from .fem.bc import DirichletBC, free_mask_from_bcs
 from .fem.operator import StiffnessOperator, assemble_scipy
 from .fem.solvers import (block_jacobi_preconditioner, cg, direct_solve,
                           jacobi_preconditioner)
-from .materials import SIMPMaterial, lame_parameters
+from .materials import SIMPMaterial
 from .mesh import DIM, Mesh, dofs_of_nodes
 from .ops.elements import element_volumes
 from .ops.stress import stress_summary

@@ -10,7 +10,7 @@ solve is device compute).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +19,6 @@ from ..mesh import DIM, FACE_TABLES, Mesh, element_dofs
 from ..ops.elements import element_tables, physical_gradients
 from ..ops.facets import facet_geometry
 from ..utils.terminal import log
-from .bc import DirichletBC  # noqa: F401  (re-export convenience)
 
 
 def _cell_quadrature(mesh: Mesh, order: int = 2

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh import DIM, Mesh
+from ..mesh import Mesh
 from ..models.beams import generate_grid_hex, generate_grid_tet
 from .operator import StiffnessOperator
 from .solvers import block_jacobi_preconditioner

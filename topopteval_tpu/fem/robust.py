@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import DIRECT_LAST_RESORT_DOFS, SolverConfig
 from ..utils.terminal import log, print_warning
-from .solvers import (bicgstab, cg, gmres, jacobi_preconditioner, minres)
+from .solvers import bicgstab, cg, gmres, minres
 
 
 # ---------------------------------------------------------------------------
@@ -235,8 +235,6 @@ def solve_with_krylov(op, f, method: str, config: SolverConfig
         # fallback 2: host direct solve for modest sizes
         if op.n_dofs < DIRECT_LAST_RESORT_DOFS:
             print_warning("Attempting direct solve as last resort...")
-            from .operator import assemble_scipy  # noqa: F401
-            from .solvers import direct_solve
             raise _DirectFallback()
         print_convergence_report(config, method, niter, rnorm, conv, hist)
         return u, niter, rnorm, conv, hist, method

@@ -13,13 +13,11 @@
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Union
-
 import numpy as np
 
 from ..mesh import FACE_TABLES, Mesh
 from ..utils.terminal import log
-from .vtu import VTUWriter, write_vtu
+from .vtu import write_vtu
 
 
 def export_results(data, mesh_or_problem, output_file: str) -> str:

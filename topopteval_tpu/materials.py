@@ -11,7 +11,7 @@ exposed both as a closure (API parity) and as a pure array scale factor
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@ from ..api import (Problem, apply_fixed_boundary, apply_force,
 from ..fem.bc import nodes_at_plane, select_nodes_by_plane
 from ..fem.loads import apply_gravity
 from ..materials import create_material_model, create_simp_material_model
-from ..mesh import Mesh
 from .beams import generate_grid_hex
 
 

@@ -21,7 +21,7 @@ single-device :class:`..fem.operator.StiffnessOperator`, so the identical
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

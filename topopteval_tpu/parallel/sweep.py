@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,6 @@ from ..materials import SIMPMaterial, lame_parameters
 from ..mesh import DIM, Mesh
 from ..ops.elements import physical_gradients
 from ..ops.scatter import RowScatterPlan
-from ..mesh import element_dofs
 
 
 @dataclasses.dataclass(frozen=True)
