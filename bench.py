@@ -60,10 +60,12 @@ def main():
     f_dev = jnp.asarray(f, dtype) * op.free_mask
 
     # --- assembly throughput (fused Pallas Ke batch) ------------------------
-    dmesh = op.dmesh
+    dmesh = mesh.device(dtype=dtype)
     coords_e = dmesh.coords[dmesh.conn]
+    lam_e = jnp.full(mesh.n_cells, lam, dtype)
+    mu_e = jnp.full(mesh.n_cells, mu, dtype)
     ke_fn = jax.jit(lambda ce: tet4_element_stiffness_pallas(
-        ce, op.lam, op.mu, transpose_out=False))
+        ce, lam_e, mu_e, transpose_out=False))
     ke = ke_fn(coords_e)
     ke.block_until_ready()
     reps = 3

@@ -1,0 +1,69 @@
+"""Stencil operator vs general operator equivalence + MG integration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopteval_tpu.fem.bc import (DirichletBC, free_mask_from_bcs,
+                                   nodes_at_plane)
+from topopteval_tpu.fem.operator import StiffnessOperator
+from topopteval_tpu.fem.structured import StructuredStiffnessOperator
+from topopteval_tpu.materials import lame_parameters
+from topopteval_tpu.models.beams import generate_grid_tet
+
+LAM, MU = lame_parameters(1.0, 0.3)
+
+
+def _pair(nx=6, ny=4, nz=2, box=(3.0, 2.4, 1.0), mask=True, escale=None):
+    mesh = generate_grid_tet(nx, ny, nz, (0, 0, 0), box)
+    fm = None
+    if mask:
+        fm = free_mask_from_bcs(
+            mesh.n_dofs, [DirichletBC.fixed(nodes_at_plane(mesh, 0, 0.0))])
+    dmesh = mesh.device(dtype=jnp.float64)
+    lam_e = np.full(mesh.n_cells, LAM)
+    mu_e = np.full(mesh.n_cells, MU)
+    if escale is not None:
+        # per-hex scale expanded to the 6 tets of each hex; the generator
+        # flattens hexes in (ix, iy, iz) ij-order (models/beams.py)
+        per_tet = np.repeat(escale.transpose(2, 1, 0).reshape(-1), 6)
+        lam_e = lam_e * per_tet
+        mu_e = mu_e * per_tet
+    gen = StiffnessOperator.build(
+        dmesh, lam_e, mu_e,
+        free_mask=None if fm is None else jnp.asarray(fm, jnp.float64),
+        mode="otf", order=1)
+    st = StructuredStiffnessOperator.build(
+        nx, ny, nz, (0, 0, 0), box, LAM, MU, free_mask=fm,
+        escale=escale, dtype=jnp.float64)
+    return mesh, gen, st
+
+
+@pytest.mark.parametrize("mask", [False, True])
+def test_structured_matvec_matches_general(mask):
+    mesh, gen, st = _pair(mask=mask)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(mesh.n_dofs))
+    a = np.asarray(gen.matvec(u) if mask else gen.matvec_raw(u))
+    b = np.asarray(st.matvec(u) if mask else st.matvec_raw(u))
+    np.testing.assert_allclose(b, a, rtol=1e-11, atol=1e-12)
+
+
+def test_structured_simp_scaling():
+    rng = np.random.default_rng(1)
+    escale = rng.uniform(0.1, 1.0, (2, 4, 6))   # [nz, ny, nx]
+    mesh, gen, st = _pair(mask=True, escale=escale)
+    u = jnp.asarray(rng.standard_normal(mesh.n_dofs))
+    np.testing.assert_allclose(np.asarray(st.matvec(u)),
+                               np.asarray(gen.matvec(u)),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_structured_blocks_and_diagonal():
+    mesh, gen, st = _pair(mask=True)
+    np.testing.assert_allclose(np.asarray(st.node_blocks_raw()),
+                               np.asarray(gen.node_blocks_raw()),
+                               rtol=1e-11, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.diagonal()),
+                               np.asarray(gen.diagonal()),
+                               rtol=1e-11, atol=1e-12)

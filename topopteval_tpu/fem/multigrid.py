@@ -211,9 +211,14 @@ def build_structured_multigrid(
         dtype=jnp.float32,
         omega: float = 0.7, nu: int = 2,
         use_pallas: Optional[bool] = None,
+        operator: str = "structured",
 ) -> Tuple[Mesh, StiffnessOperator, MultigridPreconditioner]:
     """Hierarchy over a structured box: returns (fine mesh, fine operator,
     V-cycle preconditioner).  Cell counts must be divisible by 2^(levels-1).
+
+    ``operator="structured"`` (tet4 only) uses the gather-free stencil
+    operator (fem/structured.py) on every level; "general" uses the
+    connectivity-based matrix-free operator.
     """
     from .bc import DirichletBC, free_mask_from_bcs, nodes_at_plane
 
@@ -249,11 +254,17 @@ def build_structured_multigrid(
                                tol=1e-9)
         mask = free_mask_from_bcs(mesh.n_dofs,
                                   [DirichletBC.fixed(fixed)])
-        dmesh = mesh.device(dtype=dtype)
-        op = StiffnessOperator.build(dmesh, lam, mu,
-                                     free_mask=jnp.asarray(mask, dtype),
-                                     mode="otf", order=1,
-                                     use_pallas=use_pallas)
+        if operator == "structured" and element == "tet4":
+            from .structured import StructuredStiffnessOperator
+            op = StructuredStiffnessOperator.build(
+                cnx, cny, cnz, lo, hi, lam, mu, free_mask=mask,
+                dtype=dtype)
+        else:
+            dmesh = mesh.device(dtype=dtype)
+            op = StiffnessOperator.build(dmesh, lam, mu,
+                                         free_mask=jnp.asarray(mask, dtype),
+                                         mode="otf", order=1,
+                                         use_pallas=use_pallas)
         binv = block_jacobi_preconditioner(op.node_blocks_raw(),
                                            op.free_mask)
         transfer = None

@@ -1,0 +1,190 @@
+"""Stencil (gather-free) matrix-free operator for structured box meshes.
+
+On the uniform grids of models/beams.py every hexahedron is congruent, so
+each of its 6 tetrahedra has *constant* physical shape-function gradients.
+The SpMV then needs no connectivity at all: corner displacements of every
+hex are shifted slices of the 3D node lattice, the per-tet-type physics is
+elementwise over [nz, ny, nx] grids, and the transpose scatter is 8
+shifted slice-adds — the stencil formulation XLA lowers at HBM bandwidth
+(no gather/scatter ops, which lower near-scalar on TPU; docs/PERF_NOTES.md).
+
+Same ``matvec`` contract as StiffnessOperator → drives cg()/multigrid
+unchanged.  Supports uniform material and per-hex SIMP scaling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.beams import _TET_SPLIT
+from ..materials import lame_parameters
+
+#: hex corner offsets in (iz, iy, ix), VTK order (matches models/beams.py)
+_CORNER_OFFSETS = [(0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+                   (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0)]
+
+
+def _reference_tet_gradients(dx: float, dy: float, dz: float):
+    """Constant gradients g [6, 4, 3] + volumes [6] for the 6 congruent
+    tets of a dx*dy*dz hex (split _TET_SPLIT, models/beams.py)."""
+    corners = np.array([(ox * dx, oy * dy, oz * dz)
+                        for (oz, oy, ox) in _CORNER_OFFSETS])
+    g = np.zeros((6, 4, 3))
+    vol = np.zeros(6)
+    for t, tet in enumerate(np.asarray(_TET_SPLIT)):
+        X = corners[tet]                       # [4, 3]
+        E = X[1:] - X[0]                       # edge matrix (rows)
+        det = np.linalg.det(E)
+        vol[t] = det / 6.0
+        invE = np.linalg.inv(E)
+        # dN_{i+1}/dx_a = (E^{-1})[a][i]
+        g[t, 1:, :] = invE.T
+        g[t, 0, :] = -invE.T.sum(axis=0)
+    return g, vol
+
+
+@dataclasses.dataclass(frozen=True)
+class StructuredStiffnessOperator:
+    """Gather-free stiffness operator on an (nx, ny, nz) box of 6-tet hexes.
+
+    ``escale`` is an optional per-hex Young's-modulus scale grid
+    [nz, ny, nx] (SIMP); material is otherwise uniform (lam, mu).
+    """
+
+    g: jnp.ndarray            # [6, 4, 3] constant gradients
+    vol: jnp.ndarray          # [6]
+    lam: jnp.ndarray          # scalar
+    mu: jnp.ndarray           # scalar
+    free_mask3d: jnp.ndarray  # [nzn, nyn, nxn, 3]
+    escale: Optional[jnp.ndarray]    # [nz, ny, nx] or None
+    dims: Tuple[int, int, int] = dataclasses.field(
+        metadata={"static": True})   # (nx, ny, nz) cells
+
+    @property
+    def n_dofs(self) -> int:
+        nx, ny, nz = self.dims
+        return 3 * (nx + 1) * (ny + 1) * (nz + 1)
+
+    @property
+    def free_mask(self) -> jnp.ndarray:
+        return self.free_mask3d.reshape(-1)
+
+    @staticmethod
+    def build(nx: int, ny: int, nz: int,
+              lo: Sequence[float], hi: Sequence[float],
+              lam: float, mu: float,
+              free_mask: Optional[np.ndarray] = None,
+              escale: Optional[np.ndarray] = None,
+              dtype=jnp.float32) -> "StructuredStiffnessOperator":
+        dx = (hi[0] - lo[0]) / nx
+        dy = (hi[1] - lo[1]) / ny
+        dz = (hi[2] - lo[2]) / nz
+        g, vol = _reference_tet_gradients(dx, dy, dz)
+        if free_mask is None:
+            free_mask = np.ones(3 * (nx + 1) * (ny + 1) * (nz + 1))
+        m3 = np.asarray(free_mask, np.float64).reshape(nz + 1, ny + 1,
+                                                       nx + 1, 3)
+        return StructuredStiffnessOperator(
+            g=jnp.asarray(g, dtype), vol=jnp.asarray(vol, dtype),
+            lam=jnp.asarray(lam, dtype), mu=jnp.asarray(mu, dtype),
+            free_mask3d=jnp.asarray(m3, dtype),
+            escale=(None if escale is None
+                    else jnp.asarray(escale, dtype).reshape(nz, ny, nx)),
+            dims=(int(nx), int(ny), int(nz)))
+
+    # -- application ---------------------------------------------------------
+
+    def _corner_slices(self, u3):
+        """8 views [nz, ny, nx, 3]: u at corner c of every hex."""
+        nx, ny, nz = self.dims
+        return [u3[oz:oz + nz, oy:oy + ny, ox:ox + nx, :]
+                for (oz, oy, ox) in _CORNER_OFFSETS]
+
+    def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        nx, ny, nz = self.dims
+        u3 = u.reshape(nz + 1, ny + 1, nx + 1, 3)
+        uc = self._corner_slices(u3)
+        acc = [None] * 8                      # corner force accumulators
+
+        for t in range(6):
+            tet = [int(i) for i in np.asarray(_TET_SPLIT[t])]
+            gt = self.g[t]                    # [4, 3]
+            ue = [uc[c] for c in tet]         # 4 x [nz,ny,nx,3]
+            # grad_u[a][b] = sum_k ue[k][..., a] * g[k, b]
+            gu = [[sum(ue[k][..., a] * gt[k, b] for k in range(4))
+                   for b in range(3)] for a in range(3)]
+            tr = gu[0][0] + gu[1][1] + gu[2][2]
+            w = self.vol[t] * (self.escale if self.escale is not None
+                               else 1.0)
+            lam_tr = self.lam * tr
+            sig = [[self.mu * (gu[a][b] + gu[b][a])
+                    + (lam_tr if a == b else 0.0)
+                    for b in range(3)] for a in range(3)]
+            for k in range(4):
+                fk = jnp.stack(
+                    [w * (sig[a][0] * gt[k, 0] + sig[a][1] * gt[k, 1]
+                          + sig[a][2] * gt[k, 2]) for a in range(3)],
+                    axis=-1)
+                c = tet[k]
+                acc[c] = fk if acc[c] is None else acc[c] + fk
+
+        f3 = jnp.zeros_like(u3)
+        for c, (oz, oy, ox) in enumerate(_CORNER_OFFSETS):
+            f3 = jax.lax.dynamic_update_slice(
+                f3, jax.lax.dynamic_slice(
+                    f3, (oz, oy, ox, 0), (nz, ny, nx, 3)) + acc[c],
+                (oz, oy, ox, 0))
+        return f3.reshape(-1)
+
+    def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        m = self.free_mask
+        return m * self.matvec_raw(m * u) + (1.0 - m) * u
+
+    # -- preconditioning ------------------------------------------------------
+
+    def node_blocks_raw(self) -> jnp.ndarray:
+        """3x3 node blocks via 8 shifted adds of constant per-corner
+        blocks (uniform material) or escale-weighted grids (SIMP)."""
+        nx, ny, nz = self.dims
+        blocks3 = jnp.zeros((nz + 1, ny + 1, nx + 1, 3, 3),
+                            dtype=self.g.dtype)
+        eye = jnp.eye(3, dtype=self.g.dtype)
+        for t in range(6):
+            tet = [int(i) for i in np.asarray(_TET_SPLIT[t])]
+            gt = self.g[t]
+            for k in range(4):
+                gk = gt[k]
+                outer = (self.lam + self.mu) * jnp.outer(gk, gk) \
+                    + self.mu * jnp.dot(gk, gk) * eye
+                blk = self.vol[t] * outer                      # [3,3]
+                if self.escale is not None:
+                    contrib = self.escale[..., None, None] * blk
+                else:
+                    contrib = jnp.broadcast_to(blk, (nz, ny, nx, 3, 3))
+                oz, oy, ox = _CORNER_OFFSETS[tet[k]]
+                blocks3 = jax.lax.dynamic_update_slice(
+                    blocks3, jax.lax.dynamic_slice(
+                        blocks3, (oz, oy, ox, 0, 0),
+                        (nz, ny, nx, 3, 3)) + contrib,
+                    (oz, oy, ox, 0, 0))
+        return blocks3.reshape(-1, 3, 3)
+
+    def diagonal_raw(self) -> jnp.ndarray:
+        blocks = self.node_blocks_raw()
+        return jax.vmap(jnp.diag)(blocks).reshape(-1)
+
+    def diagonal(self) -> jnp.ndarray:
+        m = self.free_mask
+        return m * m * self.diagonal_raw() + (1.0 - m)
+
+
+jax.tree_util.register_pytree_node(
+    StructuredStiffnessOperator,
+    lambda o: ((o.g, o.vol, o.lam, o.mu, o.free_mask3d, o.escale),
+               (o.dims,)),
+    lambda aux, leaves: StructuredStiffnessOperator(*leaves, aux[0]))
