@@ -133,12 +133,13 @@ class StructuredStiffnessOperator:
                 c = tet[k]
                 acc[c] = fk if acc[c] is None else acc[c] + fk
 
+        # transpose scatter as pure pad+add (no update-slice aliasing —
+        # in-place DUS chains inside while_loop bodies misbehaved at large
+        # sizes on the TPU backend)
         f3 = jnp.zeros_like(u3)
         for c, (oz, oy, ox) in enumerate(_CORNER_OFFSETS):
-            f3 = jax.lax.dynamic_update_slice(
-                f3, jax.lax.dynamic_slice(
-                    f3, (oz, oy, ox, 0), (nz, ny, nx, 3)) + acc[c],
-                (oz, oy, ox, 0))
+            f3 = f3 + jnp.pad(acc[c], ((oz, 1 - oz), (oy, 1 - oy),
+                                       (ox, 1 - ox), (0, 0)))
         return f3.reshape(-1)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -154,6 +155,8 @@ class StructuredStiffnessOperator:
         blocks3 = jnp.zeros((nz + 1, ny + 1, nx + 1, 3, 3),
                             dtype=self.g.dtype)
         eye = jnp.eye(3, dtype=self.g.dtype)
+        pads = lambda oz, oy, ox: ((oz, 1 - oz), (oy, 1 - oy),
+                                   (ox, 1 - ox), (0, 0), (0, 0))
         for t in range(6):
             tet = [int(i) for i in np.asarray(_TET_SPLIT[t])]
             gt = self.g[t]
@@ -167,11 +170,9 @@ class StructuredStiffnessOperator:
                 else:
                     contrib = jnp.broadcast_to(blk, (nz, ny, nx, 3, 3))
                 oz, oy, ox = _CORNER_OFFSETS[tet[k]]
-                blocks3 = jax.lax.dynamic_update_slice(
-                    blocks3, jax.lax.dynamic_slice(
-                        blocks3, (oz, oy, ox, 0, 0),
-                        (nz, ny, nx, 3, 3)) + contrib,
-                    (oz, oy, ox, 0, 0))
+                blocks3 = blocks3 + jnp.pad(
+                    jnp.broadcast_to(contrib, (nz, ny, nx, 3, 3)),
+                    pads(oz, oy, ox))
         return blocks3.reshape(-1, 3, 3)
 
     def diagonal_raw(self) -> jnp.ndarray:
