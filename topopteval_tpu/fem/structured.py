@@ -99,24 +99,24 @@ class StructuredStiffnessOperator:
 
     # -- application ---------------------------------------------------------
 
-    def _corner_slices(self, u3):
-        """8 views [nz, ny, nx, 3]: u at corner c of every hex."""
-        nx, ny, nz = self.dims
-        return [u3[oz:oz + nz, oy:oy + ny, ox:ox + nx, :]
-                for (oz, oy, ox) in _CORNER_OFFSETS]
-
     def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        # component-major internals: every array in the loop body is a
+        # plain [nz, ny, nx] grid (no minor-dim-3 tensors, no stacks in
+        # the hot path) — both for layout efficiency and to avoid backend
+        # miscompiles observed with the packed layout in loop contexts
         nx, ny, nz = self.dims
-        u3 = u.reshape(nz + 1, ny + 1, nx + 1, 3)
-        uc = self._corner_slices(u3)
-        acc = [None] * 8                      # corner force accumulators
+        u4 = u.reshape(nz + 1, ny + 1, nx + 1, 3)
+        ucomp = [u4[..., a] for a in range(3)]
+        uc = [[ucomp[a][oz:oz + nz, oy:oy + ny, ox:ox + nx]
+               for a in range(3)] for (oz, oy, ox) in _CORNER_OFFSETS]
+        acc = [[None] * 3 for _ in range(8)]   # [corner][comp]
 
         for t in range(6):
             tet = [int(i) for i in np.asarray(_TET_SPLIT[t])]
             gt = self.g[t]                    # [4, 3]
-            ue = [uc[c] for c in tet]         # 4 x [nz,ny,nx,3]
-            # grad_u[a][b] = sum_k ue[k][..., a] * g[k, b]
-            gu = [[sum(ue[k][..., a] * gt[k, b] for k in range(4))
+            ue = [uc[c] for c in tet]         # 4 x [3 grids]
+            # grad_u[a][b] = sum_k ue[k][a] * g[k, b]
+            gu = [[sum(ue[k][a] * gt[k, b] for k in range(4))
                    for b in range(3)] for a in range(3)]
             tr = gu[0][0] + gu[1][1] + gu[2][2]
             w = self.vol[t] * (self.escale if self.escale is not None
@@ -126,21 +126,21 @@ class StructuredStiffnessOperator:
                     + (lam_tr if a == b else 0.0)
                     for b in range(3)] for a in range(3)]
             for k in range(4):
-                fk = jnp.stack(
-                    [w * (sig[a][0] * gt[k, 0] + sig[a][1] * gt[k, 1]
-                          + sig[a][2] * gt[k, 2]) for a in range(3)],
-                    axis=-1)
                 c = tet[k]
-                acc[c] = fk if acc[c] is None else acc[c] + fk
+                for a in range(3):
+                    val = w * (sig[a][0] * gt[k, 0] + sig[a][1] * gt[k, 1]
+                               + sig[a][2] * gt[k, 2])
+                    acc[c][a] = (val if acc[c][a] is None
+                                 else acc[c][a] + val)
 
-        # transpose scatter as pure pad+add (no update-slice aliasing —
-        # in-place DUS chains inside while_loop bodies misbehaved at large
-        # sizes on the TPU backend)
-        f3 = jnp.zeros_like(u3)
-        for c, (oz, oy, ox) in enumerate(_CORNER_OFFSETS):
-            f3 = f3 + jnp.pad(acc[c], ((oz, 1 - oz), (oy, 1 - oy),
-                                       (ox, 1 - ox), (0, 0)))
-        return f3.reshape(-1)
+        fcomp = []
+        for a in range(3):
+            fa = jnp.zeros((nz + 1, ny + 1, nx + 1), u.dtype)
+            for c, (oz, oy, ox) in enumerate(_CORNER_OFFSETS):
+                fa = fa + jnp.pad(acc[c][a], ((oz, 1 - oz), (oy, 1 - oy),
+                                              (ox, 1 - ox)))
+            fcomp.append(fa)
+        return jnp.stack(fcomp, axis=-1).reshape(-1)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         m = self.free_mask
