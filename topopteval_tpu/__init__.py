@@ -51,6 +51,11 @@ from .fem.loads import (apply_volume_force, apply_gravity,
 from .config import (SolverConfig, large_symmetric_config,
                      large_general_config, memory_efficient_config)
 
+# scaling: geometric multigrid + structured stencil operator
+from .fem.multigrid import (MultigridPreconditioner,
+                            build_structured_multigrid)
+from .fem.structured import StructuredStiffnessOperator
+
 # terminal helpers (reference: Utils.TerminalStyle)
 from .utils import (print_info, print_error, print_warning, print_success,
                     print_data, set_verbosity)
@@ -76,6 +81,8 @@ __all__ = [
     "apply_uniform_surface_traction",
     "SolverConfig", "large_symmetric_config", "large_general_config",
     "memory_efficient_config",
+    "MultigridPreconditioner", "build_structured_multigrid",
+    "StructuredStiffnessOperator",
     "print_info", "print_error", "print_warning", "print_success",
     "print_data", "set_verbosity",
 ]
