@@ -50,34 +50,36 @@ def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
     """
     assert nx_f % 2 == ny_f % 2 == nz_f % 2 == 0, "cells must be even"
     nxc, nyc, nzc = nx_f // 2, ny_f // 2, nz_f // 2
-
-    def fid(ix, iy, iz):
-        return ix + iy * (nx_f + 1) + iz * (nx_f + 1) * (ny_f + 1)
-
-    def cid(ix, iy, iz):
-        return ix + iy * (nxc + 1) + iz * (nxc + 1) * (nyc + 1)
-
     N_f = (nx_f + 1) * (ny_f + 1) * (nz_f + 1)
     N_c = (nxc + 1) * (nyc + 1) * (nzc + 1)
+
+    iz, iy, ix = np.meshgrid(np.arange(nz_f + 1), np.arange(ny_f + 1),
+                             np.arange(nx_f + 1), indexing="ij")
+    ix, iy, iz = ix.reshape(-1), iy.reshape(-1), iz.reshape(-1)
+
+    def axis(i):
+        # two parent candidates per axis: even nodes collapse to one
+        p0, p1 = i // 2, i // 2 + (i % 2)
+        w0 = np.where(i % 2 == 1, 0.5, 1.0)
+        w1 = np.where(i % 2 == 1, 0.5, 0.0)
+        return (p0, w0), (p1, w1)
+
+    ax, ay, az = axis(ix), axis(iy), axis(iz)
     # unused slots point at the sentinel coarse id N_c (weight 0); padding
     # with node 0 would concentrate millions of zero contributions on one
     # coarse node and blow up the restriction incidence width
-    parents = np.full((N_f, 8), N_c, dtype=np.int32)
-    weights = np.zeros((N_f, 8), dtype=np.float64)
-    for iz in range(nz_f + 1):
-        pz = _axis_parents(iz)
-        for iy in range(ny_f + 1):
-            py = _axis_parents(iy)
-            for ix in range(nx_f + 1):
-                px = _axis_parents(ix)
-                f = fid(ix, iy, iz)
-                s = 0
-                for czi, wz in pz:
-                    for cyi, wy in py:
-                        for cxi, wx in px:
-                            parents[f, s] = cid(cxi, cyi, czi)
-                            weights[f, s] = wx * wy * wz
-                            s += 1
+    parents = np.empty((N_f, 8), dtype=np.int32)
+    weights = np.empty((N_f, 8), dtype=np.float64)
+    s_ = 0
+    for pz, wz in az:
+        for py, wy in ay:
+            for px, wx in ax:
+                w = wx * wy * wz
+                cid = px + py * (nxc + 1) + pz * (nxc + 1) * (nyc + 1)
+                parents[:, s_] = np.where(w > 0, cid, N_c)
+                weights[:, s_] = w
+                s_ += 1
+
     # restriction = P^T: incidence of (fine, slot) contributions per coarse
     flat_targets = parents.reshape(-1).astype(np.int64)      # [N_f*8]
     real = np.flatnonzero(flat_targets < N_c)                # drop sentinels
