@@ -6,10 +6,11 @@ Prints ONE JSON line:
 
 Headline = end-to-end device solve seconds on the ~1.2M-tet beam
 (BASELINE.md target: < 5 s on one v5p chip; vs_baseline = 5/actual, > 1.0
-beats the target).  The V-cycle preconditioner gives mesh-independent
-iteration counts (14 iters at 1.23M tets) — 156x faster end-to-end than
-the reference-style Jacobi-PCG scaling on the same hardware.  Assembly
-throughput (fused Pallas Ke kernel; target 1e8 tets/s) goes to stderr.
+beats the target).  Round-1 result on the weaker v5e: 4.50 s / 20 MG-PCG
+iterations (vs_baseline 1.11) — ~180x faster end-to-end than the
+reference-style Jacobi-PCG scaling on the same hardware.  Assembly
+throughput via the fused Pallas Ke kernel: 1.03e8 tets/s (target 1e8),
+reported on stderr.
 """
 
 import json
@@ -41,7 +42,7 @@ def main():
     set_verbosity(False)
     dtype = jnp.float32
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    args_nu = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    args_nu = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     # cells must divide by 2^(levels-1); scale=16 -> 200x64x16 hexes
     nx, ny, nz = 25 * scale // 2, 4 * scale, scale
     lam, mu = lame_parameters(1.0, 0.3)
