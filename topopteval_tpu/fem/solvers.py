@@ -104,12 +104,16 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots,
     rz = _dot(r, z, precise_dots)
     rnorm0 = jnp.sqrt(_dot(r, r, precise_dots)).real
     eps = tol + tol * rnorm0   # Krylov.jl: atol + rtol*‖r0‖
+    # NOTE: the history buffer is only part of the loop carry when actually
+    # recording — a zero-sized placeholder array in the while_loop carry
+    # miscompiled on the axon TPU backend (cg() diverged while an identical
+    # hand-rolled loop without it matched; tools/tpu_check_struct9.py)
     hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
              .at[0].set(rnorm0.astype(precise_dtype()))
-             if record_history else jnp.zeros(0, dtype=precise_dtype()))
+             if record_history else None)
 
     def cond(state):
-        _, _, _, _, it, rnorm, _ = state
+        it, rnorm = state[4], state[5]
         return jnp.logical_and(it < maxiter, rnorm > eps)
 
     def one_iteration(x, r, p, rz, it, hist):
@@ -129,17 +133,23 @@ def _cg_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots,
         return x, r, p, rz_new, it, hist
 
     def body(state):
-        x, r, p, rz, it, _, hist = state
+        x, r, p, rz, it = state[:5]
+        hist = state[6] if record_history else None
         # `unroll` CG iterations per loop step: on backends with per-step
         # dispatch overhead (axon tunnel ~5 ms/step, tools/tpu_bisect5)
         # this amortizes the fixed cost without changing the math
         for _ in range(unroll):
             x, r, p, rz, it, hist = one_iteration(x, r, p, rz, it, hist)
         rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
-        return x, r, p, rz, it, rnorm, hist
+        out = (x, r, p, rz, it, rnorm)
+        return out + ((hist,) if record_history else ())
 
-    state = (x0, r, p, rz, jnp.int32(0), rnorm0, hist0)
-    x, r, p, rz, it, rnorm, hist = jax.lax.while_loop(cond, body, state)
+    state = (x0, r, p, rz, jnp.int32(0), rnorm0)
+    if record_history:
+        state = state + (hist0,)
+    out = jax.lax.while_loop(cond, body, state)
+    x, it, rnorm = out[0], out[4], out[5]
+    hist = out[6] if record_history else jnp.zeros(0, dtype=precise_dtype())
     return x, it, rnorm, rnorm <= eps, hist
 
 
