@@ -67,7 +67,8 @@ class StructuredStiffnessOperator:
     vol: tuple                # 6 floats
     lam: float
     mu: float
-    free_mask3d: jnp.ndarray  # [nzn, nyn, nxn, 3]
+    free_mask_flat: jnp.ndarray      # [ndof] (1D leaf; 4D argument arrays
+                                     # also miscompiled on axon)
     escale: Optional[jnp.ndarray]    # [nz, ny, nx] or None
     dims: Tuple[int, int, int] = dataclasses.field(
         metadata={"static": True})   # (nx, ny, nz) cells
@@ -79,7 +80,12 @@ class StructuredStiffnessOperator:
 
     @property
     def free_mask(self) -> jnp.ndarray:
-        return self.free_mask3d.reshape(-1)
+        return self.free_mask_flat
+
+    @property
+    def free_mask3d(self) -> jnp.ndarray:
+        nx, ny, nz = self.dims
+        return self.free_mask_flat.reshape(nz + 1, ny + 1, nx + 1, 3)
 
     @staticmethod
     def build(nx: int, ny: int, nz: int,
@@ -94,14 +100,13 @@ class StructuredStiffnessOperator:
         g, vol = _reference_tet_gradients(dx, dy, dz)
         if free_mask is None:
             free_mask = np.ones(3 * (nx + 1) * (ny + 1) * (nz + 1))
-        m3 = np.asarray(free_mask, np.float64).reshape(nz + 1, ny + 1,
-                                                       nx + 1, 3)
+        m_flat = np.asarray(free_mask, np.float64).reshape(-1)
         g_t = tuple(tuple(tuple(float(x) for x in row) for row in gt)
                     for gt in g)
         return StructuredStiffnessOperator(
             g=g_t, vol=tuple(float(v) for v in vol),
             lam=float(lam), mu=float(mu),
-            free_mask3d=jnp.asarray(m3, dtype),
+            free_mask_flat=jnp.asarray(m_flat, dtype),
             escale=(None if escale is None
                     else jnp.asarray(escale, dtype).reshape(nz, ny, nx)),
             dims=(int(nx), int(ny), int(nz)))
@@ -161,7 +166,7 @@ class StructuredStiffnessOperator:
         """3x3 node blocks via 8 shifted adds of constant per-corner
         blocks (uniform material) or escale-weighted grids (SIMP)."""
         nx, ny, nz = self.dims
-        dtype = self.free_mask3d.dtype
+        dtype = self.free_mask_flat.dtype
         blocks3 = jnp.zeros((nz + 1, ny + 1, nx + 1, 3, 3), dtype=dtype)
         eye = np.eye(3)
         pads = lambda oz, oy, ox: ((oz, 1 - oz), (oy, 1 - oy),
@@ -195,7 +200,7 @@ class StructuredStiffnessOperator:
 
 jax.tree_util.register_pytree_node(
     StructuredStiffnessOperator,
-    lambda o: ((o.free_mask3d, o.escale),
+    lambda o: ((o.free_mask_flat, o.escale),
                (o.g, o.vol, o.lam, o.mu, o.dims)),
     lambda aux, leaves: StructuredStiffnessOperator(
         aux[0], aux[1], aux[2], aux[3], leaves[0], leaves[1], aux[4]))
