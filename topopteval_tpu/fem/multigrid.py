@@ -213,18 +213,18 @@ def build_structured_multigrid(
         dtype=jnp.float32,
         omega: float = 0.7, nu: int = 2,
         use_pallas: Optional[bool] = None,
-        operator: str = "general",
+        operator: str = "structured",
 ) -> Tuple[Mesh, StiffnessOperator, MultigridPreconditioner]:
     """Hierarchy over a structured box: returns (fine mesh, fine operator,
     V-cycle preconditioner).  Cell counts must be divisible by 2^(levels-1).
 
-    ``operator="structured"`` (tet4 only) uses the gather-free stencil
-    operator (fem/structured.py) on every level — ~16x faster per V-cycle,
-    but currently opt-in: on the axon TPU backend its program produces
-    wrong values when compiled INSIDE loop bodies at large grid sizes
-    (tools/tpu_check_struct4.py demonstrates scan-vs-sequential divergence
-    at 200x64x16; fine at 48x16x8 — an XLA/backend miscompile we avoid by
-    defaulting to "general").
+    ``operator="structured"`` (the default for tet4) uses the gather-free
+    stencil operator (fem/structured.py) on every level — ~16x faster per
+    V-cycle than the connectivity-based operator.  NOTE the operator's
+    pytree deliberately exposes only 1D/3D-grid array leaves: 4D array
+    arguments (and tiny scalar-array leaves) fed through jit into
+    while_loop bodies miscompiled on the axon TPU backend
+    (tools/tpu_check_struct9/10/11.py bisections).
     """
     from .bc import DirichletBC, free_mask_from_bcs, nodes_at_plane
 
