@@ -42,7 +42,7 @@ def main():
     set_verbosity(False)
     dtype = jnp.float32
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    args_nu = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    args_nu = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     # cells must divide by 2^(levels-1); scale=16 -> 200x64x16 hexes
     nx, ny, nz = 25 * scale // 2, 4 * scale, scale
     lam, mu = lame_parameters(1.0, 0.3)
@@ -84,11 +84,14 @@ def main():
     tol = 1e-6
 
     def solve():
+        # unroll=1: the unroll=2 variant of this loop body miscompiled on
+        # the axon backend (silently wrong solution with a converged-looking
+        # recurrence residual); the true-residual check below guards this
         x = None
         total = 0
         for ci in range(8):
             res = cg(op, f_dev, x0=x, M=mg, tol=tol, maxiter=50,
-                     precise_dots=False, unroll=2)
+                     precise_dots=False, unroll=1)
             x = res.x
             total += int(res.niter)
             log(f"  chunk {ci}: +{int(res.niter)} iters, "
@@ -108,9 +111,15 @@ def main():
     solve_s = time.perf_counter() - t0
 
     energy = float(0.5 * jnp.vdot(res.x, f_dev))
+    # integrity: recompute the TRUE residual with a fresh matvec (the CG
+    # recurrence alone cannot be trusted against backend miscompiles)
+    true_r = float(jnp.linalg.norm(f_dev - op.matvec(res.x)))
+    rnorm0 = float(jnp.linalg.norm(f_dev))
+    ok = true_r <= 100 * tol * (1 + rnorm0)
     log(f"solve: {solve_s:.3f}s, {iters} iters "
         f"({solve_s / max(iters, 1) * 1e3:.1f} ms/iter), "
-        f"energy={energy:.6e}")
+        f"energy={energy:.6e}, true_rnorm={true_r:.3e} "
+        f"({'OK' if ok else 'FAILED INTEGRITY'})")
 
     print(json.dumps({
         "metric": "e2e_solve_seconds_1M_tet_beam",
@@ -122,7 +131,8 @@ def main():
             "n_dofs": mesh.n_dofs,
             "solver": "MG-PCG (geometric V-cycle, block-Jacobi smoother)",
             "cg_iters": iters,
-            "converged": bool(res.converged),
+            "converged": bool(res.converged) and ok,
+            "true_residual": true_r,
             "tolerance": tol,
             "energy": energy,
             "assembly_tets_per_s": round(tets_per_s),
