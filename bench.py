@@ -6,11 +6,12 @@ Prints ONE JSON line:
 
 Headline = end-to-end device solve seconds on the ~1.2M-tet beam
 (BASELINE.md target: < 5 s on one v5p chip; vs_baseline = 5/actual, > 1.0
-beats the target).  Round-1 result on the weaker v5e: 4.50 s / 20 MG-PCG
-iterations (vs_baseline 1.11) — ~180x faster end-to-end than the
-reference-style Jacobi-PCG scaling on the same hardware.  Assembly
-throughput via the fused Pallas Ke kernel: 1.03e8 tets/s (target 1e8),
-reported on stderr.
+beats the target).  Round-1 result on the weaker v5e: 0.40 s / 14 MG-PCG
+iterations via the gather-free stencil operator (vs_baseline 12.5;
+~2000x faster end-to-end than reference-style Jacobi-PCG scaling on the
+same hardware), backward error 3.4e-8 (= fp32 machine precision), energy
+matching a fp64 host CG oracle to 2e-7.  Assembly throughput via the
+fused Pallas Ke kernel: ~1.0e8 tets/s (target 1e8), reported on stderr.
 """
 
 import json
@@ -112,13 +113,32 @@ def main():
 
     energy = float(0.5 * jnp.vdot(res.x, f_dev))
     # integrity: recompute the TRUE residual with a fresh matvec (the CG
-    # recurrence alone cannot be trusted against backend miscompiles)
+    # recurrence alone cannot be trusted against backend miscompiles) and
+    # judge it by the normwise BACKWARD error eta = ||f-Ax||/(||A||||x||+||f||).
+    # An absolute threshold is wrong here: ||x||~5e4 (tip deflects ~675),
+    # so the fp32 attainable-accuracy floor eps*||A||*||x|| ~ 1e-2 — any
+    # fp32 solver stalls there while being backward-stable (verified: the
+    # fp64 host oracle and CPU fp32 reproduce the same residual, and the
+    # energy matches the fp64 oracle to 2e-7; tools/tpu_check_integrity.py).
     true_r = float(jnp.linalg.norm(f_dev - op.matvec(res.x)))
     rnorm0 = float(jnp.linalg.norm(f_dev))
-    ok = true_r <= 100 * tol * (1 + rnorm0)
+    xnorm = float(jnp.linalg.norm(res.x))
+    v = res.x / xnorm                       # power-iterate ||A||_2
+    lam_max = 0.0
+    for _ in range(20):
+        w = op.matvec(v)
+        lam_max = float(jnp.linalg.norm(w))
+        v = w / lam_max
+    eta = true_r / (lam_max * xnorm + rnorm0)
+    ok = eta <= 2e-6                        # ~30x fp32 eps
+    # second, independent check at the default problem: fp64 host CG oracle
+    # energy (structured == general operator, 31 iters, rnorm 9.8e-11)
+    if scale == 16:
+        ok = ok and abs(energy - 324.121241) / 324.121241 <= 1e-4
     log(f"solve: {solve_s:.3f}s, {iters} iters "
         f"({solve_s / max(iters, 1) * 1e3:.1f} ms/iter), "
-        f"energy={energy:.6e}, true_rnorm={true_r:.3e} "
+        f"energy={energy:.6e}, true_rnorm={true_r:.3e}, "
+        f"backward_err={eta:.2e} (|A|~{lam_max:.2f}, |x|~{xnorm:.3e}) "
         f"({'OK' if ok else 'FAILED INTEGRITY'})")
 
     print(json.dumps({
@@ -133,6 +153,7 @@ def main():
             "cg_iters": iters,
             "converged": bool(res.converged) and ok,
             "true_residual": true_r,
+            "backward_error": eta,
             "tolerance": tol,
             "energy": energy,
             "assembly_tets_per_s": round(tets_per_s),
