@@ -70,7 +70,7 @@ def main():
         ce, lam_e, mu_e, transpose_out=False))
     ke = ke_fn(coords_e)
     ke.block_until_ready()
-    reps = 3
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         ke = ke_fn(coords_e)

@@ -92,7 +92,7 @@ def _tet4_ke_kernel(coords_ref, lam_ref, mu_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("block", "interpret",
                                              "transpose_out"))
 def tet4_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
-                                  mu: jnp.ndarray, block: int = DEF_BLOCK,
+                                  mu: jnp.ndarray, block: int = 1024,
                                   interpret: bool = False,
                                   transpose_out: bool = True) -> jnp.ndarray:
     """Fused Tet4 Ke batch: [C,4,3], [C], [C] -> [C,12,12].
