@@ -97,3 +97,43 @@ def test_mg_f32(mg_problem):
              precise_dots=False)
     assert bool(res.converged)
     assert int(res.niter) < 60
+
+
+def test_host_builders_match_device():
+    """The host (NumPy) build path — node blocks, block-Jacobi inverse,
+    dense coarse matrix — must match the device computations it
+    replaced in build_structured_multigrid."""
+    from topopteval_tpu.fem.multigrid import (
+        _host_block_jacobi, _host_dense_constrained_matrix,
+        _host_node_blocks_structured)
+    from topopteval_tpu.fem.structured import StructuredStiffnessOperator
+    from topopteval_tpu.models.beams import generate_grid_tet
+
+    nx, ny, nz = 6, 4, 2
+    lo, hi = (0.0, 0.0, 0.0), (6.0, 4.0, 2.0)
+    mesh = generate_grid_tet(nx, ny, nz, lo, hi)
+    fixed = nodes_at_plane(mesh, 0, 0.0)
+    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+    op = StructuredStiffnessOperator.build(
+        nx, ny, nz, lo, hi, LAM, MU, free_mask=mask, dtype=jnp.float64)
+
+    # node blocks + block-Jacobi inverse
+    host_blocks = _host_node_blocks_structured(op)
+    np.testing.assert_allclose(host_blocks, np.asarray(op.node_blocks_raw()),
+                               rtol=1e-12, atol=1e-14)
+    host_binv = _host_block_jacobi(host_blocks, mask)
+    dev_binv = block_jacobi_preconditioner(op.node_blocks_raw(),
+                                           op.free_mask)
+    np.testing.assert_allclose(host_binv, np.asarray(dev_binv),
+                               rtol=1e-10, atol=1e-12)
+
+    # dense constrained matrix vs operator columns
+    K_host = _host_dense_constrained_matrix(mesh, LAM, MU, mask)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        v = rng.standard_normal(mesh.n_dofs)
+        np.testing.assert_allclose(
+            K_host @ v, np.asarray(op.matvec(jnp.asarray(v))),
+            rtol=1e-10, atol=1e-12)
+    # symmetric + SPD on free dofs
+    np.testing.assert_allclose(K_host, K_host.T, atol=1e-12)

@@ -128,6 +128,91 @@ jax.tree_util.register_pytree_node(
 
 
 # ---------------------------------------------------------------------------
+# Host-side (NumPy) hierarchy builders
+#
+# The MG build runs once per mesh; on the axon TPU every eager device op
+# costs a ~30-50 ms tunnel dispatch and every new program shape a remote
+# compile (docs/PERF_NOTES.md), so building the smoother blocks and the
+# dense coarse matrix on the host removes minutes of wall-clock from
+# build_structured_multigrid without touching the solve path.
+# ---------------------------------------------------------------------------
+
+
+def _host_node_blocks_structured(op) -> np.ndarray:
+    """fp64 NumPy twin of StructuredStiffnessOperator.node_blocks_raw."""
+    from ..models.beams import _TET_SPLIT
+    from .structured import _CORNER_OFFSETS
+
+    nx, ny, nz = op.dims
+    g = np.asarray(op.g, np.float64)          # [6,4,3]
+    vol = np.asarray(op.vol, np.float64)      # [6]
+    escale = None if op.escale is None else np.asarray(op.escale, np.float64)
+    eye = np.eye(3)
+    blocks = np.zeros((nz + 1, ny + 1, nx + 1, 3, 3))
+    for t in range(6):
+        tet = np.asarray(_TET_SPLIT[t])
+        for k in range(4):
+            gk = g[t, k]
+            blk = vol[t] * ((op.lam + op.mu) * np.outer(gk, gk)
+                            + op.mu * np.dot(gk, gk) * eye)
+            oz, oy, ox = _CORNER_OFFSETS[tet[k]]
+            region = blocks[oz:oz + nz, oy:oy + ny, ox:ox + nx]
+            if escale is None:
+                region += blk
+            else:
+                region += escale[..., None, None] * blk
+    return blocks.reshape(-1, 3, 3)
+
+
+def _host_block_jacobi(blocks: np.ndarray, free_mask: np.ndarray):
+    """fp64 NumPy twin of solvers.block_jacobi_preconditioner."""
+    m = np.asarray(free_mask, np.float64).reshape(-1, 3)
+    eye = np.eye(3)
+    bm = (blocks * (m[:, :, None] * m[:, None, :])
+          + (1.0 - m)[:, :, None] * eye)
+    det = np.linalg.det(bm)
+    sing = det == 0
+    if sing.any():
+        bm = np.where(sing[:, None, None], eye, bm)
+    inv = np.linalg.inv(bm)
+    if sing.any():
+        inv = np.where(sing[:, None, None], eye, inv)
+    return inv
+
+
+def _host_tet4_ke_batch(coords: np.ndarray, conn: np.ndarray,
+                        lam: float, mu: float) -> np.ndarray:
+    """fp64 Tet4 element stiffness batch [C, 12, 12] (constant-B exact
+    1-point rule; same math as ops/pallas_kernels._tet4_ke_kernel)."""
+    X = np.asarray(coords, np.float64)[conn]       # [C,4,3]
+    E = X[:, 1:] - X[:, :1]
+    vol = np.linalg.det(E) / 6.0
+    invE = np.linalg.inv(E)
+    C = conn.shape[0]
+    g = np.empty((C, 4, 3))
+    g[:, 1:, :] = np.transpose(invE, (0, 2, 1))
+    g[:, 0, :] = -g[:, 1:, :].sum(axis=1)
+    dots = np.einsum("cia,cja->cij", g, g)
+    ke = (lam * np.einsum("cia,cjb->ciajb", g, g)
+          + mu * np.einsum("cib,cja->ciajb", g, g)
+          + mu * dots[:, :, None, :, None] * np.eye(3)[None, None, :,
+                                                       None, :])
+    return vol[:, None, None] * ke.reshape(C, 12, 12)
+
+
+def _host_dense_constrained_matrix(mesh: Mesh, lam: float, mu: float,
+                                   free_mask: np.ndarray) -> np.ndarray:
+    """Dense fp64 K' = M K M + (I - M) of a small tet4 mesh on host."""
+    ke = _host_tet4_ke_batch(mesh.coords, mesh.conn, lam, mu)
+    edofs = (3 * mesh.conn[:, :, None] + np.arange(3)).reshape(-1, 12)
+    n = mesh.n_dofs
+    K = np.zeros((n, n))
+    np.add.at(K, (edofs[:, :, None], edofs[:, None, :]), ke)
+    m = np.asarray(free_mask, np.float64)
+    return m[:, None] * K * m[None, :] + np.diag(1.0 - m)
+
+
+# ---------------------------------------------------------------------------
 # Multigrid hierarchy
 # ---------------------------------------------------------------------------
 
@@ -260,19 +345,24 @@ def build_structured_multigrid(
                                tol=1e-9)
         mask = free_mask_from_bcs(mesh.n_dofs,
                                   [DirichletBC.fixed(fixed)])
-        if operator == "structured" and element == "tet4":
+        structured_level = operator == "structured" and element == "tet4"
+        if structured_level:
             from .structured import StructuredStiffnessOperator
             op = StructuredStiffnessOperator.build(
                 cnx, cny, cnz, lo, hi, lam, mu, free_mask=mask,
                 dtype=dtype)
+            # host build: zero device dispatches/compiles (see host-side
+            # builders above); parity with the device path is tested
+            binv = jnp.asarray(_host_block_jacobi(
+                _host_node_blocks_structured(op), mask), dtype)
         else:
             dmesh = mesh.device(dtype=dtype)
             op = StiffnessOperator.build(dmesh, lam, mu,
                                          free_mask=jnp.asarray(mask, dtype),
                                          mode="otf", order=1,
                                          use_pallas=use_pallas)
-        binv = block_jacobi_preconditioner(op.node_blocks_raw(),
-                                           op.free_mask)
+            binv = block_jacobi_preconditioner(op.node_blocks_raw(),
+                                               op.free_mask)
         transfer = None
         if li + 1 < n_levels:
             parents, weights, inc = build_transfer_tables(cnx, cny, cnz)
@@ -286,18 +376,24 @@ def build_structured_multigrid(
     # exact dense inverse of the coarsest constrained operator
     coarsest = levels[-1].op
     n_c = coarsest.n_dofs
-    # build the dense coarse matrix in column batches (a single vmap over
-    # all n_c columns would materialize n_c x C_c element gathers at once)
-    eye_np = np.eye(n_c, dtype=np.float64)
-    cols = []
-    bs = 256
-    mv = jax.jit(jax.vmap(coarsest.matvec, in_axes=1, out_axes=1))
-    for j0 in range(0, n_c, bs):
-        block = jnp.asarray(eye_np[:, j0:j0 + bs], dtype)
-        if block.shape[1] < bs:   # pad to keep one compiled shape
-            block = jnp.pad(block, ((0, 0), (0, bs - block.shape[1])))
-        cols.append(np.asarray(mv(block)))
-    K_c = jnp.asarray(np.concatenate(cols, axis=1)[:, :n_c])
+    if operator == "structured" and element == "tet4":
+        # assemble the coarse matrix on host (mesh/mask from the last loop
+        # iteration ARE the coarsest level's)
+        K_c = _host_dense_constrained_matrix(mesh, lam, mu, mask)
+    else:
+        # build the dense coarse matrix in column batches (a single vmap
+        # over all n_c columns would materialize n_c x C_c element gathers
+        # at once)
+        eye_np = np.eye(n_c, dtype=np.float64)
+        cols = []
+        bs = 256
+        mv = jax.jit(jax.vmap(coarsest.matvec, in_axes=1, out_axes=1))
+        for j0 in range(0, n_c, bs):
+            block = jnp.asarray(eye_np[:, j0:j0 + bs], dtype)
+            if block.shape[1] < bs:   # pad to keep one compiled shape
+                block = jnp.pad(block, ((0, 0), (0, bs - block.shape[1])))
+            cols.append(np.asarray(mv(block)))
+        K_c = jnp.asarray(np.concatenate(cols, axis=1)[:, :n_c])
     # invert on host in fp64 (avoids device LAPACK custom calls; one-time);
     # zero the fixed rows/cols so restricted residual components at coarse
     # Dirichlet dofs cannot leak into the prolonged correction
