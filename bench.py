@@ -132,9 +132,15 @@ def main():
     eta = true_r / (lam_max * xnorm + rnorm0)
     ok = eta <= 2e-6                        # ~30x fp32 eps
     # second, independent check at the default problem: fp64 host CG oracle
-    # energy (structured == general operator, 31 iters, rnorm 9.8e-11)
+    # energy (structured == general operator, 31 iters, rnorm 9.8e-11).
+    # This gate is load-bearing: known axon miscompiles stay backward-
+    # stable (eta ~ 4e-8) while the energy is off 10% (docs/PERF_NOTES.md)
     if scale == 16:
         ok = ok and abs(energy - 324.121241) / 324.121241 <= 1e-4
+    else:
+        log(f"WARNING: scale={scale} != 16 — no recorded fp64 oracle "
+            f"energy; integrity check is backward-error ONLY, which "
+            f"known miscompile classes can pass (docs/PERF_NOTES.md)")
     log(f"solve: {solve_s:.3f}s, {iters} iters "
         f"({solve_s / max(iters, 1) * 1e3:.1f} ms/iter), "
         f"energy={energy:.6e}, true_rnorm={true_r:.3e}, "

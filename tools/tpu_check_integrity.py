@@ -95,14 +95,32 @@ def main():
 
     energy = float(0.5 * np.dot(x_host, f_host))
     print(f"energy          : {energy:.6e}")
-    print(f"eager  TPU rnorm: {r_eager:.3e}   (bench integrity path)")
+    print(f"eager  TPU rnorm: {r_eager:.3e}   (fresh-matvec path)")
     print(f"jitted TPU rnorm: {r_jit:.3e}")
     print(f"numpy fp64 rnorm: {r_oracle:.3e}   (ground truth)")
     rnorm0 = float(np.linalg.norm(f_host))
     print(f"||f||           : {rnorm0:.3e}")
-    verdict = ("SOLUTION OK, fresh-matvec miscompile"
-               if r_oracle <= 100 * tol * (1 + rnorm0)
+    # judge by normwise backward error, NOT an absolute threshold: the
+    # fp32 attainable floor is eps*||A||*||x|| (docs/PERF_NOTES.md) and a
+    # correct backward-stable solve sits exactly there.  ||A||_2 via
+    # power iteration on the host fp64 oracle matvec (solution-independent
+    # start vector).
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(mesh.n_dofs)
+    v /= np.linalg.norm(v)
+    lam_max = 0.0
+    for _ in range(30):
+        w = numpy_tet4_matvec(mesh.coords, mesh.conn, lam, mu, v, mask_host)
+        lam_max = np.linalg.norm(w)
+        v = w / lam_max
+    xnorm = float(np.linalg.norm(x_host))
+    eta = r_oracle / (lam_max * xnorm + rnorm0)
+    print(f"||A||_2 ~ {lam_max:.3f}, ||x|| = {xnorm:.3e}, "
+          f"backward error eta = {eta:.2e}")
+    verdict = ("SOLUTION BACKWARD-STABLE (fp32 floor)" if eta <= 2e-6
                else "SOLUTION WRONG")
+    if r_eager > 10 * r_oracle or r_eager < 0.1 * r_oracle:
+        verdict += "; FRESH-MATVEC MISCOMPILE (device != host oracle)"
     print(f"verdict: {verdict}")
 
 

@@ -43,11 +43,23 @@ def main():
     rnorm0 = float(jnp.linalg.norm(f_dev))
     tol = 1e-6
     oracle_energy = 324.121241 if scale == 16 else None
+    if oracle_energy is None:
+        print("WARNING: no fp64 oracle energy at this scale — 'OK' means "
+              "backward-error only, which known miscompiles pass",
+              flush=True)
 
-    lam_max = None
+    # ||A||_2 once, from a solution-independent random start (a wrong
+    # first solve must not poison the judgment of later configs)
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.standard_normal(mesh.n_dofs), dtype)
+    v = v / jnp.linalg.norm(v)
+    lam_max = 0.0
+    for _ in range(20):
+        w = op.matvec(v)
+        lam_max = float(jnp.linalg.norm(w))
+        v = w / lam_max
 
     def run(nu, unroll):
-        nonlocal lam_max
         mgv = dataclasses.replace(mg, nu=nu)
 
         def solve():
@@ -69,12 +81,6 @@ def main():
         dt = time.perf_counter() - t0
 
         xnorm = float(jnp.linalg.norm(res.x))
-        if lam_max is None:
-            v = res.x / xnorm
-            for _ in range(20):
-                w = op.matvec(v)
-                lam_max = float(jnp.linalg.norm(w))
-                v = w / lam_max
         true_r = float(jnp.linalg.norm(f_dev - op.matvec(res.x)))
         eta = true_r / (lam_max * xnorm + rnorm0)
         energy = float(0.5 * jnp.vdot(res.x, f_dev))

@@ -139,7 +139,10 @@ def main():
         out = kfn(coords_e)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / 5
-    print(f"{'production':18s} block=  512: {dt * 1e3:6.2f} ms "
+    import inspect
+    prod_block = inspect.signature(
+        tet4_element_stiffness_pallas).parameters["block"].default
+    print(f"{'production':18s} block={prod_block:5d}: {dt * 1e3:6.2f} ms "
           f"-> {C / dt:.3e} tets/s", flush=True)
 
     from topopteval_tpu.ops.pallas_kernels import _tet4_ke_kernel

@@ -334,6 +334,7 @@ def build_structured_multigrid(
             f"{max_coarse_dofs}; cell counts must allow deeper 2:1 "
             "coarsening (use dimensions divisible by higher powers of 2)")
 
+    structured_path = operator == "structured" and element == "tet4"
     levels = []
     fine_mesh = None
     fine_op = None
@@ -345,8 +346,7 @@ def build_structured_multigrid(
                                tol=1e-9)
         mask = free_mask_from_bcs(mesh.n_dofs,
                                   [DirichletBC.fixed(fixed)])
-        structured_level = operator == "structured" and element == "tet4"
-        if structured_level:
+        if structured_path:
             from .structured import StructuredStiffnessOperator
             op = StructuredStiffnessOperator.build(
                 cnx, cny, cnz, lo, hi, lam, mu, free_mask=mask,
@@ -376,7 +376,7 @@ def build_structured_multigrid(
     # exact dense inverse of the coarsest constrained operator
     coarsest = levels[-1].op
     n_c = coarsest.n_dofs
-    if operator == "structured" and element == "tet4":
+    if structured_path:
         # assemble the coarse matrix on host (mesh/mask from the last loop
         # iteration ARE the coarsest level's)
         K_c = _host_dense_constrained_matrix(mesh, lam, mu, mask)
