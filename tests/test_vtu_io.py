@@ -88,3 +88,53 @@ def test_cellset_import(tmp_path, beam_tet_path):
     back = read_vtu_mesh(path)
     assert set(back.cellsets) == {"cellset_0", "cellset_7"}
     assert back.cellsets["cellset_7"].size == 100
+
+
+def _b64_zlib_dataarray(arr: np.ndarray, vtk_type: str, name=None,
+                        ncomp=None) -> str:
+    """Inline format="binary" + vtkZLibDataCompressor element text: VTK
+    base64-encodes the (3+n_blocks)-word UInt64 header and the compressed
+    data as two SEPARATE streams (the round-1 ADVICE decode bug)."""
+    import base64
+    import zlib
+
+    raw = np.ascontiguousarray(arr).tobytes()
+    comp = zlib.compress(raw)
+    header = np.array([1, len(raw), len(raw), len(comp)],
+                      dtype="<u8").tobytes()
+    text = (base64.b64encode(header).decode()
+            + base64.b64encode(comp).decode())
+    attrs = f'type="{vtk_type}" format="binary"'
+    if name:
+        attrs += f' Name="{name}"'
+    if ncomp:
+        attrs += f' NumberOfComponents="{ncomp}"'
+    return f"<DataArray {attrs}>{text}</DataArray>"
+
+
+def test_inline_binary_compressed_vtu(tmp_path):
+    """Compressed inline-binary VTU (two-stream base64) decodes correctly."""
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                   dtype=np.float64)
+    conn = np.array([0, 1, 2, 3], dtype=np.int64)
+    offs = np.array([4], dtype=np.int64)
+    types = np.array([10], dtype=np.uint8)
+    dens = np.array([0.5], dtype=np.float64)
+    xml = f"""<?xml version="1.0"?>
+<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian"
+         header_type="UInt64" compressor="vtkZLibDataCompressor">
+<UnstructuredGrid><Piece NumberOfPoints="4" NumberOfCells="1">
+<Points>{_b64_zlib_dataarray(pts, "Float64", ncomp=3)}</Points>
+<Cells>{_b64_zlib_dataarray(conn, "Int64", name="connectivity")}
+{_b64_zlib_dataarray(offs, "Int64", name="offsets")}
+{_b64_zlib_dataarray(types, "UInt8", name="types")}</Cells>
+<CellData>{_b64_zlib_dataarray(dens, "Float64", name="density")}</CellData>
+</Piece></UnstructuredGrid></VTKFile>"""
+    p = tmp_path / "inline.vtu"
+    p.write_text(xml)
+    mesh = read_vtu_mesh(str(p))
+    assert mesh.element_type == "tet4"
+    assert mesh.n_cells == 1
+    np.testing.assert_allclose(mesh.coords, pts)
+    np.testing.assert_array_equal(mesh.conn[0], [0, 1, 2, 3])
+    np.testing.assert_allclose(read_cell_density(str(p)), [0.5])

@@ -69,10 +69,17 @@ def check_operator_properties(op, n_probes: int = 3,
     """Matrix-free analog of the reference's sampled symmetry check + full
     positive-diagonal scan (reference: RobustSolver.jl:133-188): randomized
     probes test |x'Ay - y'Ax| and the extracted diagonal tests positivity.
+
+    The symmetry tolerance scales with the probe dtype: fp32 dot products
+    carry ~sqrt(n)*eps rounding noise, so a fixed 1e-8 bar would falsely
+    flag genuinely symmetric fp32 operators (the TPU throughput dtype) as
+    non-symmetric and route them away from CG.
     """
     n = op.n_dofs
     key = jax.random.PRNGKey(seed)
     dtype = op.free_mask.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    tol = max(100.0 * np.sqrt(n) * eps, 1e-10)
     sym = True
     for i in range(n_probes):
         key, k1, k2 = jax.random.split(key, 3)
@@ -81,7 +88,7 @@ def check_operator_properties(op, n_probes: int = 3,
         xa = float(jnp.vdot(x, op.matvec(y)))
         ya = float(jnp.vdot(y, op.matvec(x)))
         scale = max(abs(xa), abs(ya), 1e-30)
-        if abs(xa - ya) / scale > 1e-8:
+        if abs(xa - ya) / scale > tol:
             sym = False
             break
     diag = op.diagonal()
@@ -183,7 +190,8 @@ def solve_with_method(op, f, method: str, config: SolverConfig
         res = bicgstab(op, f, **common)
     elif method == "gmres":
         res = gmres(op, f, M=M, tol=config.tolerance,
-                    maxiter=config.max_iterations, restart=config.restart)
+                    maxiter=config.max_iterations, restart=config.restart,
+                    record_history=config.history)
     else:
         raise ValueError(f"Unknown Krylov method: {method}")
     hist = (np.asarray(res.history)[: max(int(res.niter), 0) + 1]

@@ -19,11 +19,19 @@ The host scipy sparse direct solve is retained as (a) the small-problem
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 import numpy as np
 
 
@@ -72,7 +80,7 @@ def apply_preconditioner(M, r):
     if hasattr(M, "apply"):
         return M.apply(r)
     if M.ndim == 3:
-        return jnp.einsum("nab,nb->na", M, r.reshape(-1, 3)).reshape(r.shape)
+        return _einsum("nab,nb->na", M, r.reshape(-1, 3)).reshape(r.shape)
     return M * r
 
 
@@ -233,22 +241,27 @@ def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
     y = apply_preconditioner(M, r1)
     beta1 = jnp.sqrt(jnp.maximum(_dot(r1, y, precise_dots).real, 0.0))
     eps0 = tol + tol * beta1
+    # NOTE: as in _cg_impl, the history buffer joins the loop carry ONLY
+    # when recording — a zero-length placeholder array in the while_loop
+    # carry is a known silent-miscompile trigger on the axon TPU backend
+    # (tools/tpu_check_struct9.py)
     hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
              .at[0].set(beta1.astype(precise_dtype()))
-             if record_history else jnp.zeros(0, dtype=precise_dtype()))
+             if record_history else None)
 
     zero = jnp.zeros_like(b)
     one = jnp.asarray(1.0, precise_dtype())
 
     # carry: x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
-    #        it, rnorm, hist
+    #        it, rnorm [, hist]
     def cond(st):
         it, rnorm = st[13], st[14]
         return jnp.logical_and(it < maxiter, rnorm > eps0)
 
     def body(st):
         (x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn,
-         it, _, hist) = st
+         it, _) = st[:15]
+        hist = st[15] if record_history else None
         s = 1.0 / beta
         pd = precise_dtype()
         v = (s * y.astype(pd)).astype(dtype)
@@ -277,17 +290,22 @@ def _minres_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
                - delta * w2n.astype(pd)) / gamma).astype(dtype)
         xn = x + phi.astype(dtype) * wn
         it = it + 1
+        out = (xn, r1n, r2n, yn, wn, w2n, oldb_n, beta_n, dbar_n, epsln_n,
+               phibar_n, cs_n, sn_n, it, phibar_n)
         if record_history:
             hist = hist.at[it].set(phibar_n.astype(precise_dtype()))
-        return (xn, r1n, r2n, yn, wn, w2n, oldb_n, beta_n, dbar_n, epsln_n,
-                phibar_n, cs_n, sn_n, it, phibar_n, hist)
+            out = out + (hist,)
+        return out
 
     st0 = (x0, r1, r1, y, zero, zero, one * 0.0, beta1,
            jnp.asarray(0.0, precise_dtype()), jnp.asarray(0.0, precise_dtype()),
            beta1, jnp.asarray(-1.0, precise_dtype()),
-           jnp.asarray(0.0, precise_dtype()), jnp.int32(0), beta1, hist0)
+           jnp.asarray(0.0, precise_dtype()), jnp.int32(0), beta1)
+    if record_history:
+        st0 = st0 + (hist0,)
     st = jax.lax.while_loop(cond, body, st0)
-    x, it, hist = st[0], st[13], st[15]
+    x, it = st[0], st[13]
+    hist = st[15] if record_history else jnp.zeros(0, dtype=precise_dtype())
     # report the true residual (the reference verifies ‖Ku−f‖,
     # RobustSolver.jl:469)
     rtrue = b - A.matvec(x)
@@ -326,9 +344,11 @@ def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
     rnorm0 = jnp.sqrt(_dot(r, r, precise_dots)).real
     eps0 = tol + tol * rnorm0
     zero = jnp.zeros_like(b)
+    # see _cg_impl NOTE: no zero-length history placeholder in the carry
+    # (axon while_loop miscompile class)
     hist0 = (jnp.zeros(maxiter + 1, dtype=precise_dtype())
              .at[0].set(rnorm0.astype(precise_dtype()))
-             if record_history else jnp.zeros(0, dtype=precise_dtype()))
+             if record_history else None)
     one64 = jnp.asarray(1.0, precise_dtype())
 
     def cond(st):
@@ -336,7 +356,8 @@ def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         return jnp.logical_and(it < maxiter, rnorm > eps0)
 
     def body(st):
-        x, r, p, v, rho, alpha, omega, it, _, hist = st
+        x, r, p, v, rho, alpha, omega, it, _ = st[:9]
+        hist = st[9] if record_history else None
         rho_n = _dot(rhat, r, precise_dots)
         beta = (rho_n / jnp.where(rho == 0, 1.0, rho)) \
             * (alpha / jnp.where(omega == 0, 1.0, omega))
@@ -354,14 +375,18 @@ def _bicgstab_impl(A, b, x0, tol, M, maxiter, record_history, precise_dots):
         r = s - omega_n.astype(dtype) * t
         rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
         it = it + 1
+        out = (x, r, p, v_n, rho_n, alpha_n, omega_n, it, rnorm)
         if record_history:
             hist = hist.at[it].set(rnorm.astype(precise_dtype()))
-        return x, r, p, v_n, rho_n, alpha_n, omega_n, it, rnorm, hist
+            out = out + (hist,)
+        return out
 
-    st0 = (x0, r, zero, zero, one64, one64, one64, jnp.int32(0), rnorm0,
-           hist0)
-    x, r, p, v, rho, alpha, omega, it, rnorm, hist = jax.lax.while_loop(
-        cond, body, st0)
+    st0 = (x0, r, zero, zero, one64, one64, one64, jnp.int32(0), rnorm0)
+    if record_history:
+        st0 = st0 + (hist0,)
+    st = jax.lax.while_loop(cond, body, st0)
+    x, it, rnorm = st[0], st[7], st[8]
+    hist = st[9] if record_history else jnp.zeros(0, dtype=precise_dtype())
     return x, it, rnorm, rnorm <= eps0, hist
 
 
@@ -379,28 +404,166 @@ def bicgstab(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
 
 
 # ---------------------------------------------------------------------------
-# GMRES(restart) — via jax.scipy (matrix-free, jittable)
-# (reference: RobustSolver.jl:348-368, restart default 30)
+# GMRES(restart) — left-preconditioned, Givens-rotation Arnoldi, as a
+# jitted while_loop (reference: RobustSolver.jl:348-368, restart default 30;
+# Krylov.jl converges on the preconditioned residual with atol+rtol·‖r0‖).
 # ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("maxiter", "restart", "record_history",
+                                   "precise_dots"))
+def _gmres_impl(A, b, x0, tol, M, maxiter, restart, record_history,
+                precise_dots):
+    m = restart
+    dtype = b.dtype
+    pd = precise_dtype()
+    n = b.shape[0]
+
+    def prec(r):
+        return apply_preconditioner(M, r)
+
+    def pnorm(r):
+        return jnp.sqrt(jnp.maximum(_dot(r, r, precise_dots).real, 0.0))
+
+    r0 = prec(b - A.matvec(x0))
+    beta0 = pnorm(r0)
+    eps0 = (tol + tol * beta0).astype(pd)
+    hist0 = (jnp.zeros(maxiter + 1, dtype=pd).at[0].set(beta0.astype(pd))
+             if record_history else None)
+
+    def inner_cond(st):
+        j, res = st[0], st[1]
+        it = st[2]
+        return jnp.logical_and(jnp.logical_and(j < m, res > eps0),
+                               it < maxiter)
+
+    def inner_body(st):
+        j, _, it, V, Hr, cs, sn, g = st[:8]
+        hist = st[8] if record_history else None
+        w = prec(A.matvec(V[j].astype(dtype)))
+        # modified Gram-Schmidt against all rows: rows > j are still zero,
+        # so the extra subtractions are exact no-ops (keeps shapes static)
+        def mgs(i, wh):
+            w_, h_ = wh
+            hij = _dot(V[i].astype(dtype), w_, precise_dots)
+            return (w_ - hij.astype(dtype) * V[i].astype(dtype),
+                    h_.at[i].set(hij.astype(pd)))
+        w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                    (w, jnp.zeros(m + 1, dtype=pd)))
+        hnorm = pnorm(w)
+        hcol = hcol.at[j + 1].set(hnorm.astype(pd))
+        V = V.at[j + 1].set(
+            jnp.where(hnorm > 0, w / jnp.where(hnorm == 0, 1.0, hnorm),
+                      jnp.zeros_like(w)))
+        # apply stored Givens rotations; slots >= j still hold the identity
+        # (cs=1, sn=0) so a static-bound loop is exact
+        def rot(i, h_):
+            hi, hi1 = h_[i], h_[i + 1]
+            return (h_.at[i].set(cs[i] * hi + sn[i] * hi1)
+                    .at[i + 1].set(-sn[i] * hi + cs[i] * hi1))
+        hcol = jax.lax.fori_loop(0, m, rot, hcol)
+        # new rotation eliminating hcol[j+1]
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        safe = jnp.where(denom == 0, 1.0, denom)
+        c_new = jnp.where(denom == 0, 1.0, hcol[j] / safe)
+        s_new = jnp.where(denom == 0, 0.0, hcol[j + 1] / safe)
+        cs = cs.at[j].set(c_new)
+        sn = sn.at[j].set(s_new)
+        hcol = hcol.at[j].set(c_new * hcol[j] + s_new * hcol[j + 1])
+        hcol = hcol.at[j + 1].set(0.0)
+        g_j1 = -s_new * g[j]
+        g = g.at[j + 1].set(g_j1).at[j].set(c_new * g[j])
+        Hr = Hr.at[:, j].set(hcol)
+        res = jnp.abs(g_j1)
+        it = it + 1
+        out = (j + 1, res, it, V, Hr, cs, sn, g)
+        if record_history:
+            hist = hist.at[it].set(res)
+            out = out + (hist,)
+        return out
+
+    def outer_cond(st):
+        it, res = st[1], st[2]
+        return jnp.logical_and(it < maxiter, res > eps0)
+
+    def outer_body(st):
+        x, it, _ = st[:3]
+        hist = st[3] if record_history else None
+        r = prec(b - A.matvec(x))
+        beta = pnorm(r)
+        safe_b = jnp.where(beta == 0, 1.0, beta)
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            (r / safe_b).astype(dtype))
+        Hr = jnp.zeros((m + 1, m), dtype=pd)   # post-rotation (triangular)
+        cs = jnp.ones(m, dtype=pd)
+        sn = jnp.zeros(m, dtype=pd)
+        g = jnp.zeros(m + 1, dtype=pd).at[0].set(beta.astype(pd))
+        inner0 = (jnp.int32(0), beta.astype(pd), it, V, Hr, cs, sn, g)
+        if record_history:
+            inner0 = inner0 + (hist,)
+        inner = jax.lax.while_loop(inner_cond, inner_body, inner0)
+        j_end, res, it, V, Hr = inner[0], inner[1], inner[2], inner[3], \
+            inner[4]
+        g = inner[7]
+        if record_history:
+            hist = inner[8]
+        # back substitution on the rotated (upper-triangular) H, columns
+        # beyond j_end masked out
+        def back(i_rev, y):
+            i = m - 1 - i_rev
+            num = g[i] - _dot(Hr[i], y, False)
+            dii = Hr[i, i]
+            yi = jnp.where(i < j_end,
+                           num / jnp.where(dii == 0, 1.0, dii), 0.0)
+            return y.at[i].set(yi)
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype=pd))
+        x = x + (y.astype(dtype) @ V[:m])
+        out = (x, it, res)
+        return out + ((hist,) if record_history else ())
+
+    st0 = (x0, jnp.int32(0), beta0.astype(pd))
+    if record_history:
+        st0 = st0 + (hist0,)
+    out = jax.lax.while_loop(outer_cond, outer_body, st0)
+    x, it, res = out[0], out[1], out[2]
+    hist = out[3] if record_history else jnp.zeros(0, dtype=pd)
+    # report the true (unpreconditioned) residual like the reference's
+    # post-solve verification (RobustSolver.jl:469)
+    rtrue = b - A.matvec(x)
+    rnorm = jnp.sqrt(_dot(rtrue, rtrue, precise_dots)).real
+    return x, it, rnorm, res <= eps0, hist
 
 
 def gmres(A, b, x0=None, M=None, tol: float = 1e-8, maxiter: int = 10000,
           restart: int = 30, record_history: bool = False,
           precise_dots: bool = True) -> KrylovResult:
-    import jax.scipy.sparse.linalg as jssl
+    """Restarted GMRES with left preconditioning, own implementation
+    (niter/history telemetry like the other methods; the round-1 jax.scipy
+    delegate reported niter=-1 and no history).
+
+    Mirrors the reference's restart-failure retry (RobustSolver.jl:353-368,
+    which retries without the restart kwarg → unrestarted GMRES): on
+    non-convergence with a small restart, one retry with the Krylov space
+    widened to min(maxiter, n, 200).
+    """
     A = _wrap_operator(A)
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    Mfn = (None if M is None
-           else (lambda r: apply_preconditioner(M, r)))
-    kw = dict(x0=x0, tol=tol, atol=tol, restart=int(restart),
-              maxiter=int(maxiter))
-    if Mfn is not None:
-        kw["M"] = Mfn
-    x, _ = jssl.gmres(A.matvec, b, **kw)
-    r = b - A.matvec(x)
-    rnorm = jnp.sqrt(_dot(r, r, precise_dots)).real
-    rnorm0 = jnp.sqrt(_dot(b - A.matvec(x0), b - A.matvec(x0),
-                           precise_dots)).real
-    return KrylovResult(x, jnp.int32(-1), rnorm,
-                        rnorm <= tol + tol * rnorm0, None)
+    n = b.shape[0]
+    restart = max(1, min(int(restart), n, int(maxiter)))
+    x, it, rnorm, conv, hist = _gmres_impl(
+        A, b, x0, jnp.asarray(tol, precise_dtype()), M, int(maxiter),
+        restart, bool(record_history), bool(precise_dots))
+    if not bool(conv):
+        wide = min(int(maxiter), n, 200)
+        if wide > restart:
+            from ..utils.terminal import log
+            log(f"GMRES(restart={restart}) did not converge; retrying "
+                f"unrestarted (m={wide})")
+            x, it2, rnorm, conv, hist = _gmres_impl(
+                A, b, x0, jnp.asarray(tol, precise_dtype()), M,
+                int(maxiter), wide, bool(record_history),
+                bool(precise_dots))
+            it = it + it2
+    return KrylovResult(x, it, rnorm, conv,
+                        hist if record_history else None)

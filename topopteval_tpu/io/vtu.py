@@ -118,12 +118,42 @@ class VTUFile:
             offset = int(da.get("offset", "0"))
             return self._decode_block(self._appended, offset, dtype)
         if fmt == "binary":
-            raw = base64.b64decode(re.sub(rb"\s", b"", (da.text or "").encode()))
-            return self._decode_block(raw, 0, dtype, inline_base64=True)
+            text = re.sub(rb"\s", b"", (da.text or "").encode())
+            if not self.compressed:
+                return self._decode_block(base64.b64decode(text), 0, dtype)
+            return self._decode_inline_compressed(text, dtype)
         raise NotImplementedError(f"unknown DataArray format {fmt!r}")
 
-    def _decode_block(self, buf: bytes, offset: int, dtype,
-                      inline_base64: bool = False) -> np.ndarray:
+    def _decode_inline_compressed(self, text: bytes, dtype) -> np.ndarray:
+        """format="binary" + vtkZLibDataCompressor: VTK base64-encodes the
+        (3+n_blocks)-word header and the compressed data as two SEPARATE
+        streams concatenated in the element text — they cannot be decoded
+        as one stream (each is padded to its own 3-byte quantum)."""
+        hsize = self.header_dtype.itemsize
+
+        def b64_len(nbytes: int) -> int:
+            return 4 * ((nbytes + 2) // 3)
+
+        # pass 1: decode just enough characters to read n_blocks
+        probe = base64.b64decode(text[: b64_len(3 * hsize)][: len(text)
+                                                            // 4 * 4])
+        n_blocks = int(np.frombuffer(probe, self.header_dtype, 1, 0)[0])
+        header_bytes = (3 + n_blocks) * hsize
+        header_chars = b64_len(header_bytes)
+        head = np.frombuffer(base64.b64decode(text[:header_chars]),
+                             self.header_dtype, 3 + n_blocks, 0)
+        csizes = head[3:]
+        # pass 2: the data stream starts at the header stream's end
+        buf = base64.b64decode(text[header_chars:])
+        chunks = []
+        pos = 0
+        for cs in csizes.astype(np.int64):
+            chunks.append(zlib.decompress(buf[pos:pos + cs]))
+            pos += int(cs)
+        raw = b"".join(chunks)
+        return np.frombuffer(raw, dtype, len(raw) // dtype.itemsize)
+
+    def _decode_block(self, buf: bytes, offset: int, dtype) -> np.ndarray:
         hsize = self.header_dtype.itemsize
         if not self.compressed:
             nbytes = int(np.frombuffer(buf, self.header_dtype, 1, offset)[0])
