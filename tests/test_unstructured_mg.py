@@ -1,0 +1,237 @@
+"""Unstructured (voxel-embedded Galerkin) multigrid + public-API wiring.
+
+Round-2 VERDICT items 1+2: the fast solve path must work for ARBITRARY
+imported meshes (reference: FiniteElementAnalysis.jl:547 — any-mesh solve)
+and be reachable via SolverConfig(preconditioner="multigrid") through
+solve_system / solve_system_adaptive.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                assemble_stiffness_matrix, import_mesh,
+                                setup_problem, solve_system,
+                                solve_system_adaptive)
+from topopteval_tpu.config import SolverConfig
+from topopteval_tpu.fem.bc import (DirichletBC, free_mask_from_bcs,
+                                   nodes_at_plane)
+from topopteval_tpu.fem.ell import ELLBlockOperator
+from topopteval_tpu.fem.multigrid import (Transfer, build_voxel_transfer,
+                                          build_unstructured_multigrid,
+                                          galerkin_voxel_operator,
+                                          propagate_fixed)
+from topopteval_tpu.fem.operator import StiffnessOperator, assemble_scipy
+from topopteval_tpu.fem.solvers import cg, direct_solve
+from topopteval_tpu.materials import lame_parameters
+from topopteval_tpu.models.beams import generate_grid_tet
+
+LAM, MU = lame_parameters(1.0, 0.3)
+
+
+# ---------------------------------------------------------------------------
+# ELL operator
+# ---------------------------------------------------------------------------
+
+
+def _random_block_spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.random(3 * n, 3 * n, density=0.1, random_state=rng.integers(1e6))
+    A = (A + A.T + sp.eye(3 * n) * 10).tocsr()
+    return A
+
+
+def test_ell_matvec_matches_scipy():
+    n = 17
+    A = _random_block_spd(n)
+    mask = np.ones(3 * n)
+    op = ELLBlockOperator.from_scipy_bsr(A, mask, jnp.float64)
+    x = np.random.default_rng(1).standard_normal(3 * n)
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))),
+                               A @ x, rtol=1e-12, atol=1e-12)
+    # roundtrip
+    back = op.to_scipy_bsr()
+    np.testing.assert_allclose(back.toarray(), A.toarray(), atol=1e-12)
+
+
+def test_ell_constrained_and_blocks():
+    n = 9
+    A = _random_block_spd(n, seed=2)
+    mask = np.ones(3 * n)
+    mask[:6] = 0.0
+    op = ELLBlockOperator.from_scipy_bsr(A, mask, jnp.float64)
+    x = np.random.default_rng(3).standard_normal(3 * n)
+    m = mask
+    expect = m * (A @ (m * x)) + (1 - m) * x
+    np.testing.assert_allclose(np.asarray(op.matvec(jnp.asarray(x))),
+                               expect, rtol=1e-12, atol=1e-12)
+    blocks = np.asarray(op.node_blocks_raw())
+    dense = A.toarray()
+    for i in range(n):
+        np.testing.assert_allclose(blocks[i],
+                                   dense[3 * i: 3 * i + 3,
+                                         3 * i: 3 * i + 3], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Galerkin probing exactness
+# ---------------------------------------------------------------------------
+
+
+def test_galerkin_probe_matches_explicit_rap(beam_tet_path):
+    mesh = import_mesh(beam_tet_path)
+    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
+    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+    dm = mesh.device(dtype=jnp.float64)
+    op = StiffnessOperator.build(
+        dm, np.full(mesh.n_cells, LAM), np.full(mesh.n_cells, MU),
+        free_mask=jnp.asarray(mask, jnp.float64))
+    lo, hi = mesh.bounding_box()
+    dims = (10, 4, 2)
+    parents, weights, inc = build_voxel_transfer(mesh.coords, lo, hi, dims)
+    tr = Transfer(jnp.asarray(parents), jnp.asarray(weights, jnp.float64),
+                  jnp.asarray(inc))
+    N_c = 11 * 5 * 3
+    fixed_c = propagate_fixed(parents, weights, mask.reshape(-1, 3) == 0,
+                              N_c)
+    mask_c = np.where(fixed_c, 0.0, 1.0).reshape(-1)
+    ell, mask_c2 = galerkin_voxel_operator(op, tr, mask_c, dims,
+                                           dtype=jnp.float64)
+    A_probe = ell.to_scipy_bsr().toarray()
+
+    K = assemble_scipy(mesh, LAM, MU, free_mask=mask)
+    live = weights > 0
+    rows = np.repeat(np.arange(mesh.n_nodes), 8).reshape(-1, 8)[live]
+    P = sp.coo_matrix((weights[live], (rows, parents[live])),
+                      shape=(mesh.n_nodes, N_c)).tocsr()
+    P_dof = sp.kron(P, sp.eye(3), format="csr")
+    Mf = sp.diags(mask)
+    Mc = sp.diags(mask_c)
+    A_exact = (Mc @ P_dof.T @ Mf @ K @ Mf @ P_dof @ Mc).toarray()
+    scale = np.abs(A_exact).max()
+    np.testing.assert_allclose(A_probe, A_exact, atol=1e-10 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Convergence on a genuinely unstructured imported mesh
+# ---------------------------------------------------------------------------
+
+
+def test_unstructured_mg_converges_on_fixture(beam_tet_path):
+    """Imported (porous, topology-optimized) tet mesh: MG-PCG must reach
+    tight tolerance in a small fraction of the block-Jacobi count and
+    match the fp64 direct oracle."""
+    mesh = import_mesh(beam_tet_path)
+    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
+    tip = nodes_at_plane(mesh, 0, 60.0, tol=1e-6)
+    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+    f = np.zeros(mesh.n_dofs)
+    f[tip * 3 + 2] = -1.0 / tip.size
+
+    op, mg = build_unstructured_multigrid(mesh, LAM, MU, free_mask=mask,
+                                          dtype=jnp.float64)
+    b = jnp.asarray(f) * op.free_mask
+    res = cg(op, b, M=mg, tol=1e-10, maxiter=300)
+    assert bool(res.converged), int(res.niter)
+    assert int(res.niter) < 200
+
+    K = assemble_scipy(mesh, LAM, MU, free_mask=mask)
+    u_d = direct_solve(K, f)
+    e_d = 0.5 * float(u_d @ (K @ u_d))
+    e = float(op.energy(res.x))
+    assert abs(e - e_d) / e_d < 1e-8
+
+
+def test_mg_preconditioner_is_symmetric(beam_tet_path):
+    """CG requires a symmetric M: verify x'My == y'Mx and x'Mx > 0 for
+    the Chebyshev-smoothed V-cycle."""
+    mesh = import_mesh(beam_tet_path)
+    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
+    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+    op, mg = build_unstructured_multigrid(mesh, LAM, MU, free_mask=mask,
+                                          dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
+    y = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
+    xMy = float(jnp.vdot(x, mg.apply(y)))
+    yMx = float(jnp.vdot(y, mg.apply(x)))
+    assert abs(xMy - yMx) / max(abs(xMy), 1e-30) < 1e-10
+    assert float(jnp.vdot(x, mg.apply(x))) > 0
+
+
+# ---------------------------------------------------------------------------
+# Public API wiring
+# ---------------------------------------------------------------------------
+
+
+def _cantilever_problem(mesh):
+    problem = setup_problem(mesh)
+    assemble_stiffness_matrix(problem, LAM, MU)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0, tol=1e-6))
+    xmax = mesh.coords[:, 0].max()
+    apply_force(problem, nodes_at_plane(mesh, 0, xmax, tol=1e-6),
+                [0.0, 0.0, -1.0])
+    return problem
+
+
+def test_solve_system_multigrid_matches_direct(beam_tet_path):
+    mesh = import_mesh(beam_tet_path)
+    problem = _cantilever_problem(mesh)
+    direct = solve_system(problem, SolverConfig(
+        method="direct", verbose=False))
+    mg = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-10,
+        max_iterations=300, verbose=False))
+    assert mg.converged
+    assert abs(mg.energy - direct.energy) / direct.energy < 1e-8
+    # V-cycle built and cached on the problem
+    assert getattr(problem, "_mg_cache", None) is not None
+
+
+def test_solve_system_multigrid_structured_fast_path():
+    """Generated structured boxes must ride the stencil hierarchy (the
+    bench headline path) through the same public config."""
+    from topopteval_tpu.fem.structured import StructuredStiffnessOperator
+
+    mesh = generate_grid_tet(8, 4, 4, (0, 0, 0), (8.0, 4.0, 4.0))
+    problem = _cantilever_problem(mesh)
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-10,
+        max_iterations=200, verbose=False))
+    assert res.converged
+    key, op, mg_pre = problem._mg_cache
+    assert isinstance(op, StructuredStiffnessOperator)
+    direct = solve_system(problem, SolverConfig(method="direct",
+                                                verbose=False))
+    assert abs(res.energy - direct.energy) / direct.energy < 1e-8
+
+
+def test_solve_system_multigrid_cache_invalidation():
+    mesh = generate_grid_tet(6, 3, 3, (0, 0, 0), (6.0, 3.0, 3.0))
+    problem = _cantilever_problem(mesh)
+    cfg = SolverConfig(method="cg", preconditioner="multigrid",
+                       tolerance=1e-9, max_iterations=200, verbose=False)
+    solve_system(problem, cfg)
+    cache1 = problem._mg_cache
+    solve_system(problem, cfg)
+    assert problem._mg_cache is cache1            # reused
+    assemble_stiffness_matrix(problem, 2 * LAM, 2 * MU)
+    solve_system(problem, cfg)
+    assert problem._mg_cache is not cache1        # material changed
+
+
+def test_chunked_cg_matches_unchunked():
+    mesh = generate_grid_tet(6, 3, 3, (0, 0, 0), (6.0, 3.0, 3.0))
+    problem = _cantilever_problem(mesh)
+    base = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="block_diagonal", tolerance=1e-10,
+        max_iterations=2000, verbose=False))
+    chunked = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="block_diagonal", tolerance=1e-10,
+        max_iterations=2000, chunk_iterations=25, verbose=False))
+    assert chunked.converged
+    assert abs(chunked.energy - base.energy) / base.energy < 1e-9

@@ -1,0 +1,76 @@
+"""fp64 oracle energy for the bench problem at a given scale.
+
+Runs on the CPU backend with x64 enabled (forced before JAX initializes,
+so call in a FRESH process — bench.py invokes this as a subprocess) and
+prints the strain energy 0.5 u.f of the scale-parametrized cantilever to
+stdout (last line).  Used to (re)generate data/oracle_energies.json and
+to compute on-the-fly oracles for uncached small scales, replacing the
+round-1 hardcoded scale-16 constant (VERDICT round 1, weak #4).
+
+    python tools/oracle_energy.py <scale> [--update-table]
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_cpu_multi_thread_eigen=true").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+TABLE = os.path.join(REPO, "data", "oracle_energies.json")
+
+
+def compute(scale: int) -> float:
+    from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                    assemble_stiffness_matrix,
+                                    setup_problem, solve_system)
+    from topopteval_tpu.config import SolverConfig
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.materials import lame_parameters
+    from topopteval_tpu.models.beams import generate_grid_tet
+    from topopteval_tpu.utils import set_verbosity
+
+    set_verbosity(False)
+    nx, ny, nz = 25 * scale // 2, 4 * scale, scale
+    lam, mu = lame_parameters(1.0, 0.3)
+    mesh = generate_grid_tet(nx, ny, nz, (0.0, 0.0, 0.0),
+                             (60.0, 20.0, 4.0))
+    problem = setup_problem(mesh, dtype=jnp.float64)
+    assemble_stiffness_matrix(problem, lam, mu)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
+    apply_force(problem, nodes_at_plane(mesh, 0, 60.0), [0.0, 0.0, -1.0])
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-11,
+        max_iterations=400, verbose=False))
+    assert res.converged, (res.iterations, res.residual_norm)
+    # energy definition matching bench.py: 0.5 u.f
+    return float(0.5 * np.dot(res.u, problem.f))
+
+
+def main():
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    e = compute(scale)
+    if "--update-table" in sys.argv:
+        table = {}
+        if os.path.exists(TABLE):
+            with open(TABLE) as fh:
+                table = json.load(fh)
+        table[f"tet_beam_scale_{scale}"] = e
+        with open(TABLE, "w") as fh:
+            json.dump(table, fh, indent=1, sort_keys=True)
+        print(f"updated {TABLE}", file=sys.stderr)
+    print(repr(e))
+
+
+if __name__ == "__main__":
+    main()

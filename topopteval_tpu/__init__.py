@@ -53,7 +53,8 @@ from .config import (SolverConfig, large_symmetric_config,
 
 # scaling: geometric multigrid + structured stencil operator
 from .fem.multigrid import (MultigridPreconditioner,
-                            build_structured_multigrid)
+                            build_structured_multigrid,
+                            build_unstructured_multigrid)
 from .fem.structured import StructuredStiffnessOperator
 
 # terminal helpers (reference: Utils.TerminalStyle)
@@ -82,6 +83,7 @@ __all__ = [
     "SolverConfig", "large_symmetric_config", "large_general_config",
     "memory_efficient_config",
     "MultigridPreconditioner", "build_structured_multigrid",
+    "build_unstructured_multigrid",
     "StructuredStiffnessOperator",
     "print_info", "print_error", "print_warning", "print_success",
     "print_data", "set_verbosity",

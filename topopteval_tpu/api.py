@@ -43,8 +43,10 @@ from .fem.solvers import (block_jacobi_preconditioner, cg, direct_solve,
                           jacobi_preconditioner)
 from .materials import SIMPMaterial
 from .mesh import DIM, Mesh, dofs_of_nodes
+from .fem.solvers import precise_dtype
 from .ops.elements import element_volumes
 from .ops.stress import stress_summary
+from .utils.profiling import PhaseRecord, PhaseTimer
 from .utils.terminal import log, print_warning
 
 
@@ -107,7 +109,7 @@ class Problem:
 
     mesh: Mesh
     interpolation_order: int = 1
-    dtype: object = jnp.float64
+    dtype: object = None                      # None → TPU-first default
     quad_order: int = 2
     f: np.ndarray = None                      # host-accumulated load vector
     bcs: List[DirichletBC] = dataclasses.field(default_factory=list)
@@ -120,6 +122,11 @@ class Problem:
     def __post_init__(self):
         if self.f is None:
             self.f = np.zeros(self.mesh.n_dofs, dtype=np.float64)
+        if self.dtype is None:
+            # TPU-first: fp32 compute unless x64 is enabled (CPU parity
+            # runs) — avoids silent fp64→fp32 truncation warning spam on
+            # real TPUs and keeps the fast kernel paths eligible
+            self.dtype = precise_dtype()
 
     @property
     def n_dofs(self) -> int:
@@ -140,13 +147,22 @@ class Problem:
 
 
 def setup_problem(mesh: Mesh, interpolation_order: int = 1,
-                  dtype=jnp.float64, mode: str = "otf") -> Problem:
+                  dtype=None, mode: str = "otf") -> Problem:
     """reference: FiniteElementAnalysis.jl:151-185.
 
     ``interpolation_order=2`` on a tet4 mesh refines to tet10 (same
     function space as the reference's quadratic Lagrange on linear
     geometry, FiniteElementAnalysis.jl:160-168).
+
+    ``dtype=None`` picks the TPU-first default: float64 when x64 is
+    enabled, float32 otherwise (the throughput dtype on real TPUs).
     """
+    from .mesh import SOLID_TYPES
+    if mesh.element_type not in SOLID_TYPES:
+        raise ValueError(
+            f"unsupported element type for analysis: {mesh.element_type!r} "
+            f"(supported solid types: {', '.join(SOLID_TYPES)}); import a "
+            "mesh whose dominant cell type is one of these")
     if interpolation_order == 2 and mesh.element_type == "tet4":
         mesh = mesh.to_quadratic()
     elif interpolation_order not in (1, 2):
@@ -272,6 +288,90 @@ def _default_config() -> SolverConfig:
                         tolerance=1e-10, max_iterations=20000, verbose=False)
 
 
+def _material_fingerprint(problem: Problem) -> tuple:
+    return (problem.lam.tobytes(), problem.mu.tobytes(),
+            tuple(bc.fixed_dofs.tobytes() for bc in problem.bcs),
+            str(problem.dtype))
+
+
+def _get_multigrid(problem: Problem):
+    """(op, mg) for preconditioner='multigrid', cached per material+BCs.
+
+    Generated structured tet4 boxes (mesh.structured_info) ride the
+    gather-free stencil hierarchy (fem/structured.py — ~16x faster per
+    V-cycle); anything else (imported meshes, hex8, tet10) gets the
+    voxel-embedded Galerkin hierarchy (fem/multigrid.py).
+    """
+    key = _material_fingerprint(problem)
+    cached = getattr(problem, "_mg_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1], cached[2]
+
+    from .fem.multigrid import (build_structured_multigrid,
+                                build_unstructured_multigrid)
+    mesh = problem.mesh
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
+    info = getattr(mesh, "structured_info", None)
+    op = mg = None
+    if info is not None and mesh.element_type == "tet4":
+        nx, ny, nz = info["dims"]
+        lam_e = np.broadcast_to(problem.lam, (mesh.n_cells,))
+        mu_e = np.broadcast_to(problem.mu, (mesh.n_cells,))
+        # per-hex-constant material (uniform or SIMP on the hex grid)?
+        mu_h = mu_e.reshape(-1, 6)
+        per_hex = (np.ptp(mu_h, axis=1).max() == 0
+                   and np.ptp((lam_e / np.maximum(mu_e, 1e-300))) < 1e-12)
+        if per_hex:
+            iref = int(np.argmax(mu_e))
+            lam0, mu0 = float(lam_e[iref]), float(mu_e[iref])
+            esc = (mu_h[:, 0] / mu0).reshape(nz, ny, nx)
+            if np.all(esc == 1.0):
+                esc = None
+            try:
+                _, op, mg = build_structured_multigrid(
+                    nx, ny, nz, info["lo"], info["hi"], lam0, mu0,
+                    free_mask=mask, escale=esc, dtype=problem.dtype)
+            except ValueError:
+                op = mg = None    # e.g. odd dims: no 2:1 coarsening
+    if op is None:
+        op, mg = build_unstructured_multigrid(
+            mesh, problem.lam, problem.mu, free_mask=mask,
+            dtype=problem.dtype)
+    problem._mg_cache = (key, op, mg)
+    return op, mg
+
+
+def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
+                record_history=False):
+    """PCG split into fixed-size program chunks with warm restarts — the
+    axon TPU backend kills single programs running ≳1 min
+    (docs/PERF_NOTES.md), so long Krylov loops must be chunked."""
+    from .fem.solvers import KrylovResult
+
+    if chunk <= 0 or chunk >= maxiter:
+        return cg(op, f_dev, x0=x0, M=M, tol=tol, maxiter=maxiter,
+                  record_history=record_history)
+    x = x0
+    total = 0
+    hists = []
+    res = None
+    while total < maxiter:
+        res = cg(op, f_dev, x0=x, M=M, tol=tol, maxiter=chunk,
+                 record_history=record_history)
+        n = int(res.niter)
+        x = res.x
+        total += n
+        if record_history and res.history is not None:
+            h = np.asarray(res.history)[: n + 1]
+            hists.append(h if not hists else h[1:])
+        if bool(res.converged) or n == 0:
+            break
+    history = (jnp.asarray(np.concatenate(hists))
+               if record_history and hists else None)
+    return KrylovResult(res.x, jnp.int32(total), res.residual_norm,
+                        res.converged, history)
+
+
 def solve_system(problem: Problem,
                  config: Optional[SolverConfig] = None,
                  x0: Optional[np.ndarray] = None) -> SolveResult:
@@ -283,21 +383,26 @@ def solve_system(problem: Problem,
     (e.g. resume from a previous solve for tolerance sweeps — the
     checkpoint/resume posture SURVEY.md §5 prescribes).
     """
-    from .utils.profiling import PhaseTimer
     timer = PhaseTimer()
     config = config or _default_config()
+
+    method = config.method
+    if method == "auto":
+        method = ("direct" if problem.n_dofs < ADAPTIVE_DOF_THRESHOLD
+                  else "cg")
+
+    M_mg = None
     with timer.phase("build_operator"):
-        op = problem.build_operator(with_bc=True)
-    dmesh = op.dmesh
+        if config.preconditioner == "multigrid" and method == "cg":
+            op, M_mg = _get_multigrid(problem)
+        else:
+            op = problem.build_operator(with_bc=True)
+    dmesh = getattr(op, "dmesh", None)
     n = problem.n_dofs
 
     f_dev = jnp.zeros(op.n_dofs, dtype=problem.dtype)
     f_dev = f_dev.at[:n].set(jnp.asarray(problem.f, dtype=problem.dtype))
     f_dev = f_dev * op.free_mask           # zero prescribed values
-
-    method = config.method
-    if method == "auto":
-        method = "direct" if n < ADAPTIVE_DOF_THRESHOLD else "cg"
 
     # fp32 cannot reach fp64-grade residuals: clamp the iterative tolerance
     # so a throughput-dtype solve converges instead of burning max_iterations
@@ -322,24 +427,30 @@ def solve_system(problem: Problem,
     if method == "direct":
         u = _host_direct()
         niter, rnorm, conv = 1, 0.0, True
-    elif method == "cg" and not config.verbose:
+    elif method == "cg" and (M_mg is not None or not config.verbose):
         # fast path: plain PCG without the robust ladder's bookkeeping
-        M = _build_preconditioner(op, config)
+        M = M_mg if M_mg is not None else _build_preconditioner(op, config)
         x0_dev = None
         if x0 is not None:
             x0_dev = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
                 jnp.asarray(np.asarray(x0)[:n], problem.dtype))
             x0_dev = x0_dev * op.free_mask
-        res = cg(op, f_dev, x0=x0_dev, M=M, tol=config.tolerance,
-                 maxiter=config.max_iterations,
-                 record_history=config.history)
+        # multigrid iterations are heavy: default to watchdog-safe chunks
+        chunk = config.chunk_iterations or (50 if M_mg is not None else 0)
+        res = _chunked_cg(op, f_dev, M, config.tolerance,
+                          config.max_iterations, x0=x0_dev, chunk=chunk,
+                          record_history=config.history)
         u = res.x
         niter = int(res.niter)
         rnorm = float(res.residual_norm)
         conv = bool(res.converged)
         history = (np.asarray(res.history)[: niter + 1]
                    if res.history is not None else None)
-        if not conv:
+        if config.verbose:
+            from .fem.robust import print_convergence_report
+            print_convergence_report(config, "cg(multigrid)", niter, rnorm,
+                                     conv, history)
+        elif not conv:
             print_warning(
                 f"Krylov solver did not converge after {niter} iterations "
                 f"(residual {rnorm:.3e}, target {config.tolerance:.1e})")
@@ -353,14 +464,24 @@ def solve_system(problem: Problem,
             niter, rnorm, conv, method = 1, 0.0, True, "direct(fallback)"
     u.block_until_ready()
     solve_time = time.perf_counter() - t0
-    timer.records["solve"] = __import__(
-        "topopteval_tpu.utils.profiling", fromlist=["PhaseRecord"]
-    ).PhaseRecord("solve", solve_time)
+    timer.records["solve"] = PhaseRecord("solve", solve_time)
 
     with timer.phase("postprocess"):
         energy = float(op.energy(u))
+        if dmesh is None:
+            # stencil-operator solve path: build the connectivity mesh
+            # once for stress recovery (same einsum path as the general
+            # operator's postprocess)
+            dmesh = problem.mesh.device(dtype=problem.dtype)
+        C_all = dmesh.conn.shape[0]
+        lam_np = np.zeros(C_all)
+        lam_np[: problem.mesh.n_cells] = problem.lam
+        mu_np = np.zeros(C_all)
+        mu_np[: problem.mesh.n_cells] = problem.mu
+        lam_e = jnp.asarray(lam_np, problem.dtype)
+        mu_e = jnp.asarray(mu_np, problem.dtype)
         sigma_qp, avg, vm, max_vm, max_cell = stress_summary(
-            dmesh, u, op.lam, op.mu, problem.quad_order)
+            dmesh, u, lam_e, mu_e, problem.quad_order)
 
     log("Analysis complete")
     log(f"Deformation energy: {energy} J")
@@ -387,11 +508,20 @@ solve_system_simp = solve_system
 
 def solve_system_adaptive(problem: Problem) -> SolveResult:
     """Size-based direct/iterative switch (reference:
-    FiniteElementAnalysis.jl:570-598)."""
+    FiniteElementAnalysis.jl:570-598).
+
+    Above the threshold, solid meshes get the TPU-native multigrid-PCG
+    path (mesh-independent iteration counts); the reference's
+    Jacobi-Krylov ladder remains the fallback for anything else."""
     n = problem.n_dofs
     if n < ADAPTIVE_DOF_THRESHOLD:
         return solve_system(problem)
-    return solve_system_robust(problem, adaptive_config(n))
+    cfg = adaptive_config(n)
+    if problem.mesh.element_type in ("tet4", "hex8", "tet10"):
+        cfg = dataclasses.replace(cfg, method="cg",
+                                  preconditioner="multigrid")
+        return solve_system(problem, cfg)
+    return solve_system_robust(problem, cfg)
 
 
 def solve_system_robust(problem: Problem,
@@ -440,6 +570,14 @@ def _build_preconditioner(op: StiffnessOperator, config: SolverConfig):
     # ilu/ichol rely on packages that fall back to diagonal anyway
     # (RobustSolver.jl:239-264)
     if name in ("block_diagonal", "ilu", "ichol"):
+        return block_jacobi_preconditioner(op.node_blocks_raw(),
+                                           op.free_mask)
+    if name == "multigrid":
+        # the V-cycle needs the problem mesh; solve_system intercepts the
+        # cg route before reaching here — other Krylov methods degrade to
+        # the strongest mesh-free option
+        print_warning("multigrid preconditioning is only wired to the CG "
+                      "path; using block-diagonal instead")
         return block_jacobi_preconditioner(op.node_blocks_raw(),
                                            op.free_mask)
     raise ValueError(f"unknown preconditioner {name!r}")
@@ -492,13 +630,14 @@ def load_result(path: str) -> SolveResult:
 def evaluate_design_batch(problem: Problem, densities: np.ndarray,
                           load_cases: Optional[np.ndarray] = None,
                           material: Optional[SIMPMaterial] = None,
-                          tol: float = 1e-6, maxiter: int = 2000,
+                          tol: float = 1e-6, maxiter: int = 5000,
                           dtype=None):
     """Compliance energies for a density batch × load cases.
 
     The TPU-native throughput path the reference has no analog for: one
     jitted vmapped pipeline evaluates every (density, load) pair with
-    shared element geometry (see parallel/sweep.py).
+    shared element geometry and a per-lane BLOCK-Jacobi preconditioner
+    (see parallel/sweep.py) — robust at real SIMP contrast.
 
     Parameters
     ----------
@@ -508,7 +647,8 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
 
     Returns
     -------
-    energies [B, L] numpy array, iterations [B, L]
+    energies [B, L], iterations [B, L], converged [B, L] (bool mask —
+    a stalled lane is surfaced, never silently reported)
     """
     import jax
     from .parallel.sweep import SweepKernel, sweep_compliance
@@ -525,6 +665,11 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
     if load_cases is None:
         load_cases = problem.f[None]
     loads = jnp.asarray(np.asarray(load_cases), dtype)
-    energies, iters = sweep_compliance(kernel, escales, loads, tol=tol,
-                                       maxiter=maxiter)
-    return np.asarray(energies), np.asarray(iters)
+    energies, iters, conv = sweep_compliance(kernel, escales, loads,
+                                             tol=tol, maxiter=maxiter)
+    conv_np = np.asarray(conv)
+    if not conv_np.all():
+        print_warning(
+            f"{int((~conv_np).sum())} of {conv_np.size} sweep lanes did "
+            f"not converge within {maxiter} iterations")
+    return np.asarray(energies), np.asarray(iters), conv_np

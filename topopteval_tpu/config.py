@@ -27,10 +27,15 @@ class SolverConfig:
 
     method: 'direct' | 'cg' | 'minres' | 'gmres' | 'bicgstab' | 'auto'
     preconditioner: 'none' | 'diagonal' | 'block_diagonal' | 'ilu' | 'ichol'
+        | 'multigrid'
         (the reference's :ilu can never work — its dependency is absent —
         and always falls back to diagonal, RobustSolver.jl:239-248; here
         'ilu'/'ichol' map to the strongest available device-side option,
-        block-diagonal, rather than silently degrading)
+        block-diagonal, rather than silently degrading.  'multigrid' is
+        the TPU-native extension: a geometric/Galerkin V-cycle built from
+        the problem mesh — stencil hierarchy for generated structured
+        boxes, voxel-embedded Galerkin hierarchy for imported meshes —
+        giving mesh-independent CG iteration counts; fem/multigrid.py)
     """
 
     method: str = "auto"
@@ -43,13 +48,16 @@ class SolverConfig:
     restart: int = 30                    # GMRES restart
     drop_tolerance: float = 1e-4         # kept for parity (ILU/IChol knob)
     history: bool = False
+    chunk_iterations: int = 0            # TPU-native: >0 splits the Krylov
+    # loop into programs of this many iterations (the axon backend kills
+    # single programs running ≳1 min; docs/PERF_NOTES.md)
 
     def __post_init__(self):
         if self.method not in ("auto", "direct", "cg", "minres", "gmres",
                                "bicgstab"):
             raise ValueError(f"unknown method {self.method!r}")
         if self.preconditioner not in ("none", "diagonal", "block_diagonal",
-                                       "ilu", "ichol"):
+                                       "ilu", "ichol", "multigrid"):
             raise ValueError(
                 f"unknown preconditioner {self.preconditioner!r}")
         if self.max_iterations == 0:

@@ -20,8 +20,17 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 import numpy as np
 
 from ..mesh import Mesh
@@ -41,12 +50,51 @@ def _axis_parents(i: int) -> Tuple[Tuple[int, float], ...]:
     return ((i // 2, 0.5), (i // 2 + 1, 0.5))
 
 
+def _restriction_incidence(parents: np.ndarray, N_c: int) -> np.ndarray:
+    """Incidence table [N_c, Dc] of (fine, slot) contributions per coarse
+    node for the P^T gather; sentinel rows index an appended zero row."""
+    N_f = parents.shape[0]
+    flat_targets = parents.reshape(-1).astype(np.int64)      # [N_f*8]
+    real = np.flatnonzero(flat_targets < N_c)                # drop sentinels
+    order = real[np.argsort(flat_targets[real], kind="stable")]
+    sorted_t = flat_targets[order]
+    starts = np.searchsorted(sorted_t, np.arange(N_c), "left")
+    ends = np.searchsorted(sorted_t, np.arange(N_c), "right")
+    degree = ends - starts
+    Dc = max(int(degree.max()) if degree.size else 1, 1)
+    inc = np.full((N_c, Dc), N_f * parents.shape[1],
+                  dtype=np.int64)                            # zero-row pad
+    col = (np.concatenate([np.arange(d) for d in degree])
+           if degree.sum() else np.zeros(0, np.int64))
+    rows = np.repeat(np.arange(N_c), degree)
+    inc[rows, col] = order
+    return inc.astype(np.int32)
+
+
+def propagate_fixed(parents: np.ndarray, weights: np.ndarray,
+                    fixed_fine: np.ndarray, n_coarse: int) -> np.ndarray:
+    """Coarse Dirichlet mask from a fine one: coarse (node, comp) is fixed
+    iff any fine fixed node maps to it with positive weight.  Exact for
+    domain-face plane constraints on nested lattices (plane nodes only
+    ever parent to plane nodes)."""
+    fixed_fine = np.asarray(fixed_fine, bool).reshape(parents.shape[0], 3)
+    out = np.zeros((n_coarse + 1, 3), dtype=bool)   # +1 sentinel slot
+    live = weights > 0
+    for comp in range(3):
+        rows = fixed_fine[:, comp]
+        tgt = parents[rows][live[rows]]
+        if tgt.size:
+            cnt = np.bincount(tgt, minlength=n_coarse + 1)
+            out[:, comp] |= cnt > 0
+    return out[:n_coarse]
+
+
 def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
     """Trilinear prolongation tables between node lattices of a
     (nx_f, ny_f, nz_f)-cell box and its 2x-coarsened counterpart.
 
-    Returns (parents [N_f, 8], weights [N_f, 8], incidence [N_c, Dc],
-    contrib_weights flattened order matching parents) as NumPy arrays.
+    Returns (parents [N_f, 8], weights [N_f, 8], incidence [N_c, Dc])
+    as NumPy arrays.
     """
     assert nx_f % 2 == ny_f % 2 == nz_f % 2 == 0, "cells must be even"
     nxc, nyc, nzc = nx_f // 2, ny_f // 2, nz_f // 2
@@ -80,20 +128,7 @@ def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
                 weights[:, s_] = w
                 s_ += 1
 
-    # restriction = P^T: incidence of (fine, slot) contributions per coarse
-    flat_targets = parents.reshape(-1).astype(np.int64)      # [N_f*8]
-    real = np.flatnonzero(flat_targets < N_c)                # drop sentinels
-    order = real[np.argsort(flat_targets[real], kind="stable")]
-    sorted_t = flat_targets[order]
-    starts = np.searchsorted(sorted_t, np.arange(N_c), "left")
-    ends = np.searchsorted(sorted_t, np.arange(N_c), "right")
-    degree = ends - starts
-    Dc = int(degree.max())
-    inc = np.full((N_c, Dc), N_f * 8, dtype=np.int64)        # zero-row pad
-    col = np.concatenate([np.arange(d) for d in degree])
-    rows = np.repeat(np.arange(N_c), degree)
-    inc[rows, col] = order
-    return parents, weights, inc.astype(np.int32)
+    return parents, weights, _restriction_incidence(parents, N_c)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,28 +216,34 @@ def _host_block_jacobi(blocks: np.ndarray, free_mask: np.ndarray):
 
 
 def _host_tet4_ke_batch(coords: np.ndarray, conn: np.ndarray,
-                        lam: float, mu: float) -> np.ndarray:
+                        lam, mu) -> np.ndarray:
     """fp64 Tet4 element stiffness batch [C, 12, 12] (constant-B exact
-    1-point rule; same math as ops/pallas_kernels._tet4_ke_kernel)."""
+    1-point rule; same math as ops/pallas_kernels._tet4_ke_kernel).
+    ``lam``/``mu`` may be scalars or per-element [C] arrays (SIMP)."""
     X = np.asarray(coords, np.float64)[conn]       # [C,4,3]
     E = X[:, 1:] - X[:, :1]
     vol = np.linalg.det(E) / 6.0
     invE = np.linalg.inv(E)
     C = conn.shape[0]
+    lam = np.broadcast_to(np.asarray(lam, np.float64), (C,))
+    mu = np.broadcast_to(np.asarray(mu, np.float64), (C,))
+    l5 = lam[:, None, None, None, None]
+    m5 = mu[:, None, None, None, None]
     g = np.empty((C, 4, 3))
     g[:, 1:, :] = np.transpose(invE, (0, 2, 1))
     g[:, 0, :] = -g[:, 1:, :].sum(axis=1)
     dots = np.einsum("cia,cja->cij", g, g)
-    ke = (lam * np.einsum("cia,cjb->ciajb", g, g)
-          + mu * np.einsum("cib,cja->ciajb", g, g)
-          + mu * dots[:, :, None, :, None] * np.eye(3)[None, None, :,
+    ke = (l5 * np.einsum("cia,cjb->ciajb", g, g)
+          + m5 * np.einsum("cib,cja->ciajb", g, g)
+          + m5 * dots[:, :, None, :, None] * np.eye(3)[None, None, :,
                                                        None, :])
     return vol[:, None, None] * ke.reshape(C, 12, 12)
 
 
-def _host_dense_constrained_matrix(mesh: Mesh, lam: float, mu: float,
+def _host_dense_constrained_matrix(mesh: Mesh, lam, mu,
                                    free_mask: np.ndarray) -> np.ndarray:
-    """Dense fp64 K' = M K M + (I - M) of a small tet4 mesh on host."""
+    """Dense fp64 K' = M K M + (I - M) of a small tet4 mesh on host.
+    ``lam``/``mu`` may be per-element arrays (SIMP)."""
     ke = _host_tet4_ke_batch(mesh.coords, mesh.conn, lam, mu)
     edofs = (3 * mesh.conn[:, :, None] + np.arange(3)).reshape(-1, 12)
     n = mesh.n_dofs
@@ -222,39 +263,87 @@ class MGLevel:
     op: StiffnessOperator        # constrained operator at this level
     binv: jnp.ndarray            # [N, 3, 3] block-Jacobi inverse blocks
     transfer: Optional[Transfer]  # to the next coarser level (None=coarsest)
+    lam_max: Optional[float] = None   # lambda_max(B^-1 A), Chebyshev bound
 
 
 jax.tree_util.register_pytree_node(
-    MGLevel, lambda l: ((l.op, l.binv, l.transfer), None),
-    lambda aux, leaves: MGLevel(*leaves))
+    MGLevel, lambda l: ((l.op, l.binv, l.transfer), (l.lam_max,)),
+    lambda aux, leaves: MGLevel(*leaves, aux[0]))
 
 
 @dataclasses.dataclass(frozen=True)
 class MultigridPreconditioner:
-    """Symmetric V-cycle: pre/post damped block-Jacobi smoothing + exact
-    dense coarse solve.  Drop-in ``M`` for :func:`..fem.solvers.cg`
+    """Symmetric V-cycle: pre/post block-smoothing + exact dense coarse
+    solve.  Drop-in ``M`` for :func:`..fem.solvers.cg`
     (``apply_preconditioner`` dispatches on the ``apply`` method).
 
-    ``omega`` must satisfy omega * lambda_max(B^-1 A) < 2 for the smoother
-    to contract; for tet meshes with non-cubic cells lambda_max exceeds 2,
-    so the safe-and-fast default is 0.7 (0.9 diverges already at 1.25:1
-    cell anisotropy — sharp stall of the outer CG)."""
+    Two smoothers (same matvec cost per sweep):
+
+    - ``"jacobi"``: damped block-Jacobi.  ``omega`` must satisfy
+      omega * lambda_max(B^-1 A) < 2 to contract; for tet meshes with
+      non-cubic cells lambda_max exceeds 2, so the safe-and-fast default
+      is 0.7 (0.9 diverges already at 1.25:1 cell anisotropy).
+    - ``"chebyshev"``: block-Jacobi-preconditioned Chebyshev targeting
+      [lam_max/4, 1.05*lam_max] per level (each MGLevel carries its
+      measured lam_max).  Much stronger on irregular meshes, where
+      lam_max ~ 3-4 forces the Jacobi omega far below 1; the fixed
+      polynomial keeps the V-cycle symmetric → still a valid CG
+      preconditioner.
+    """
 
     levels: Tuple[MGLevel, ...]
     coarse_inv: jnp.ndarray      # [n_dofs_c, n_dofs_c] dense inverse
     omega: float = dataclasses.field(default=0.7,
                                      metadata={"static": True})
     nu: int = dataclasses.field(default=2, metadata={"static": True})
+    smoother: str = dataclasses.field(default="jacobi",
+                                      metadata={"static": True})
 
     def _smooth(self, L: MGLevel, r2d, z2d, sweeps: int):
+        if self.smoother == "chebyshev" and L.lam_max is not None:
+            return self._smooth_chebyshev(L, r2d, z2d, sweeps)
         for s in range(sweeps):
             if z2d is None:
                 res = r2d
             else:
                 Az = L.op.matvec(z2d.reshape(-1)).reshape(-1, 3)
                 res = r2d - Az
-            dz = jnp.einsum("nab,nb->na", L.binv, res)
+            dz = _einsum("nab,nb->na", L.binv, res)
             z2d = self.omega * dz if z2d is None else z2d + self.omega * dz
+        return z2d
+
+    def _smooth_chebyshev(self, L: MGLevel, r2d, z2d, sweeps: int):
+        """Three-term Chebyshev recurrence on B^-1 A over
+        [lam_max/4, 1.1 lam_max].  The 1.1 headroom matters: Chebyshev
+        polynomials grow fast OUTSIDE the band, so an underestimated
+        lam_max (power iteration on an irregular spectrum) would turn the
+        smoother into an amplifier."""
+        b = 1.1 * L.lam_max
+        a = L.lam_max / 4.0
+        theta = 0.5 * (b + a)
+        delta = 0.5 * (b - a)
+        s1 = theta / delta
+
+        def binv(v2d):
+            return _einsum("nab,nb->na", L.binv, v2d)
+
+        if z2d is None:
+            rr = r2d
+            d = binv(rr) * (1.0 / theta)
+            z2d = d
+        else:
+            Az = L.op.matvec(z2d.reshape(-1)).reshape(-1, 3)
+            rr = r2d - Az
+            d = binv(rr) * (1.0 / theta)
+            z2d = z2d + d
+        rho_old = 1.0 / s1
+        for _ in range(sweeps - 1):
+            rho = 1.0 / (2.0 * s1 - rho_old)
+            Az = L.op.matvec(z2d.reshape(-1)).reshape(-1, 3)
+            rr = r2d - Az
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * binv(rr)
+            z2d = z2d + d
+            rho_old = rho
         return z2d
 
     def _vcycle(self, lvl: int, r2d):
@@ -281,9 +370,9 @@ class MultigridPreconditioner:
 
 jax.tree_util.register_pytree_node(
     MultigridPreconditioner,
-    lambda m: ((m.levels, m.coarse_inv), (m.omega, m.nu)),
+    lambda m: ((m.levels, m.coarse_inv), (m.omega, m.nu, m.smoother)),
     lambda aux, leaves: MultigridPreconditioner(tuple(leaves[0]), leaves[1],
-                                                aux[0], aux[1]))
+                                                aux[0], aux[1], aux[2]))
 
 
 def build_structured_multigrid(
@@ -299,6 +388,8 @@ def build_structured_multigrid(
         omega: float = 0.7, nu: int = 2,
         use_pallas: Optional[bool] = None,
         operator: str = "structured",
+        free_mask: Optional[np.ndarray] = None,
+        escale: Optional[np.ndarray] = None,
 ) -> Tuple[Mesh, StiffnessOperator, MultigridPreconditioner]:
     """Hierarchy over a structured box: returns (fine mesh, fine operator,
     V-cycle preconditioner).  Cell counts must be divisible by 2^(levels-1).
@@ -310,6 +401,11 @@ def build_structured_multigrid(
     arguments (and tiny scalar-array leaves) fed through jit into
     while_loop bodies miscompiled on the axon TPU backend
     (tools/tpu_check_struct9/10/11.py bisections).
+
+    ``free_mask`` (fine-level, [ndof]) generalizes the fixed-plane BC:
+    coarse-level masks derive by transfer-weight propagation (exact for
+    domain-face planes).  ``escale`` is an optional per-hex [nz, ny, nx]
+    Young's-modulus scale grid (SIMP); coarser levels use 2x2x2 averages.
     """
     from .bc import DirichletBC, free_mask_from_bcs, nodes_at_plane
 
@@ -338,26 +434,39 @@ def build_structured_multigrid(
     levels = []
     fine_mesh = None
     fine_op = None
+    mask = None
+    esc = (None if escale is None
+           else np.asarray(escale, np.float64).reshape(nz, ny, nx))
     for li in range(n_levels):
         f = 2 ** li
         cnx, cny, cnz = nx // f, ny // f, nz // f
         mesh = gen(cnx, cny, cnz, lo, hi)
-        fixed = nodes_at_plane(mesh, fixed_plane_axis, fixed_plane_value,
-                               tol=1e-9)
-        mask = free_mask_from_bcs(mesh.n_dofs,
-                                  [DirichletBC.fixed(fixed)])
+        if li == 0:
+            if free_mask is not None:
+                mask = np.asarray(free_mask, np.float64).reshape(-1)
+            else:
+                fixed = nodes_at_plane(mesh, fixed_plane_axis,
+                                       fixed_plane_value, tol=1e-9)
+                mask = free_mask_from_bcs(mesh.n_dofs,
+                                          [DirichletBC.fixed(fixed)])
         if structured_path:
             from .structured import StructuredStiffnessOperator
             op = StructuredStiffnessOperator.build(
                 cnx, cny, cnz, lo, hi, lam, mu, free_mask=mask,
-                dtype=dtype)
+                escale=esc, dtype=dtype)
             # host build: zero device dispatches/compiles (see host-side
             # builders above); parity with the device path is tested
             binv = jnp.asarray(_host_block_jacobi(
                 _host_node_blocks_structured(op), mask), dtype)
         else:
             dmesh = mesh.device(dtype=dtype)
-            op = StiffnessOperator.build(dmesh, lam, mu,
+            lam_e, mu_e = lam, mu
+            if esc is not None:
+                # 6 tets per hex, hex-major (models/beams.py _TET_SPLIT)
+                rep = 6 if element == "tet4" else 1
+                e_t = np.repeat(esc.reshape(-1), rep)
+                lam_e, mu_e = lam * e_t, mu * e_t
+            op = StiffnessOperator.build(dmesh, lam_e, mu_e,
                                          free_mask=jnp.asarray(mask, dtype),
                                          mode="otf", order=1,
                                          use_pallas=use_pallas)
@@ -369,6 +478,14 @@ def build_structured_multigrid(
             transfer = Transfer(jnp.asarray(parents),
                                 jnp.asarray(weights, dtype),
                                 jnp.asarray(inc))
+            # propagate the Dirichlet mask + average the material down
+            n_coarse = (cnx // 2 + 1) * (cny // 2 + 1) * (cnz // 2 + 1)
+            fixed_c = propagate_fixed(parents, weights,
+                                      mask.reshape(-1, 3) == 0, n_coarse)
+            mask = np.where(fixed_c, 0.0, 1.0).reshape(-1)
+            if esc is not None:
+                esc = esc.reshape(cnz // 2, 2, cny // 2, 2,
+                                  cnx // 2, 2).mean(axis=(1, 3, 5))
         levels.append(MGLevel(op, binv, transfer))
         if li == 0:
             fine_mesh, fine_op = mesh, op
@@ -379,7 +496,11 @@ def build_structured_multigrid(
     if structured_path:
         # assemble the coarse matrix on host (mesh/mask from the last loop
         # iteration ARE the coarsest level's)
-        K_c = _host_dense_constrained_matrix(mesh, lam, mu, mask)
+        lam_c, mu_c = lam, mu
+        if esc is not None:
+            e_t = np.repeat(esc.reshape(-1), 6)
+            lam_c, mu_c = lam * e_t, mu * e_t
+        K_c = _host_dense_constrained_matrix(mesh, lam_c, mu_c, mask)
     else:
         # build the dense coarse matrix in column batches (a single vmap
         # over all n_c columns would materialize n_c x C_c element gathers
@@ -408,3 +529,383 @@ def build_structured_multigrid(
     mg = MultigridPreconditioner(tuple(levels[:-1]), coarse_inv,
                                  omega=omega, nu=nu)
     return fine_mesh, fine_op, mg
+
+
+# ---------------------------------------------------------------------------
+# Unstructured multigrid: voxel-embedded geometric coarsening
+#
+# The reference's core use case is an ARBITRARY imported mesh through one
+# solve entry (reference: FiniteElementAnalysis.jl:547 works on any mesh).
+# The TPU-native fast path for that case built here: the fine level is the
+# general matrix-free operator (Pallas fused apply), and all coarse levels
+# live on a structured voxel lattice embedded over the mesh bounding box —
+# the fine→voxel transfer is a trilinear gather table (same Transfer
+# machinery as the nested-lattice tables), and every coarse level rides the
+# gather-free stencil operator (fem/structured.py), which lowers at HBM
+# bandwidth on TPU.  Voxel material = deposited element volume fraction
+# (density/SIMP-weighted), so the coarse operator approximates the fine
+# elasticity including void regions.
+# ---------------------------------------------------------------------------
+
+
+def build_voxel_transfer(coords: np.ndarray, lo, hi,
+                         dims: Tuple[int, int, int]):
+    """Trilinear embedding of arbitrary nodes into a (vx, vy, vz)-cell
+    voxel lattice over [lo, hi].
+
+    Returns (parents [N, 8], weights [N, 8], incidence) NumPy arrays in
+    the :class:`Transfer` format (sentinel id = n_coarse for zero-weight
+    slots, keeping the restriction incidence narrow).
+    """
+    vx, vy, vz = (int(d) for d in dims)
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    coords = np.asarray(coords, np.float64)
+    N = coords.shape[0]
+    N_c = (vx + 1) * (vy + 1) * (vz + 1)
+    d = np.array([vx, vy, vz], np.float64)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    t = (coords - lo) / span * d
+    cell = np.clip(np.floor(t).astype(np.int64), 0,
+                   np.array([vx, vy, vz]) - 1)
+    frac = np.clip(t - cell, 0.0, 1.0)
+    parents = np.empty((N, 8), dtype=np.int64)
+    weights = np.empty((N, 8), dtype=np.float64)
+    s = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = ((frac[:, 0] if dx else 1.0 - frac[:, 0])
+                     * (frac[:, 1] if dy else 1.0 - frac[:, 1])
+                     * (frac[:, 2] if dz else 1.0 - frac[:, 2]))
+                cid = ((cell[:, 0] + dx) + (cell[:, 1] + dy) * (vx + 1)
+                       + (cell[:, 2] + dz) * (vx + 1) * (vy + 1))
+                parents[:, s] = np.where(w > 0, cid, N_c)
+                weights[:, s] = w
+                s += 1
+    return (parents.astype(np.int32), weights,
+            _restriction_incidence(parents, N_c))
+
+
+def galerkin_voxel_operator(op, transfer: Transfer, mask_c: np.ndarray,
+                            dims: Tuple[int, int, int],
+                            reach: Tuple[int, int, int] = (2, 2, 2),
+                            dtype=jnp.float32):
+    """True Galerkin coarse operator A_c = P^T A' P on the voxel lattice,
+    computed by COLORED PROBING of the matrix-free fine operator: coarse
+    lattice nodes of the same (mod 2*reach+1 per axis) color have disjoint
+    in-reach stencils, so prod(2r+1)*3 masked matvecs recover every 3x3
+    coupling block exactly.  One jitted ``lax.scan`` program.
+
+    Rediscretized voxel operators diverge on porous/optimized geometry
+    (no relation to P^T A P); the Galerkin form makes the coarse-grid
+    correction an A-orthogonal projection — never error-increasing —
+    restoring textbook V-cycle behavior on arbitrary meshes.
+
+    Returns (ELLBlockOperator, updated mask_c): coarse dofs with an empty
+    Galerkin row (voxel corners supporting no fine node) become fixed.
+    """
+    from .ell import ELLBlockOperator
+
+    vx, vy, vz = (int(d) for d in dims)
+    nxn, nyn, nzn = vx + 1, vy + 1, vz + 1
+    N_c = nxn * nyn * nzn
+    rx, ry, rz = reach
+    px, py, pz = 2 * rx + 1, 2 * ry + 1, 2 * rz + 1
+    n_probes = px * py * pz * 3
+
+    iz, iy, ix = np.meshgrid(np.arange(nzn), np.arange(nyn),
+                             np.arange(nxn), indexing="ij")
+    ix, iy, iz = ix.ravel(), iy.ravel(), iz.ravel()
+    ix_d = jnp.asarray(ix % px, jnp.int32)
+    iy_d = jnp.asarray(iy % py, jnp.int32)
+    iz_d = jnp.asarray(iz % pz, jnp.int32)
+    mask_c2 = jnp.asarray(mask_c, dtype).reshape(N_c, 3)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    @jax.jit
+    def probe_all():
+        def body(carry, pidx):
+            b = pidx % 3
+            rest = pidx // 3
+            cx = rest % px
+            rest = rest // px
+            cy = rest % py
+            cz = rest // py
+            ind = ((ix_d == cx) & (iy_d == cy) & (iz_d == cz)).astype(dtype)
+            e = ind[:, None] * eye3[b][None, :] * mask_c2
+            v = transfer.prolong(e)              # [N_f, 3], already zero
+            w = op.matvec(v.reshape(-1))         # at fine fixed dofs
+            w2 = transfer.restrict(w.reshape(-1, 3)) * mask_c2
+            return carry, w2
+        _, W = jax.lax.scan(body, jnp.int32(0),
+                            jnp.arange(n_probes, dtype=jnp.int32))
+        return W
+
+    W = np.asarray(probe_all(), np.float64)      # [P, N_c, 3]
+
+    # host extraction: for row i and lattice offset o, the probed value at
+    # i in the probe colored like j = i + o IS the (i, j) block column
+    offsets = [(dx, dy, dz)
+               for dz in range(-rz, rz + 1)
+               for dy in range(-ry, ry + 1)
+               for dx in range(-rx, rx + 1)]
+    O = len(offsets)
+    cols_full = np.full((N_c, O), N_c, dtype=np.int64)
+    blocks_full = np.zeros((N_c, O, 3, 3))
+    rows_idx = np.arange(N_c)
+    for o_idx, (dx, dy, dz) in enumerate(offsets):
+        jx, jy, jz = ix + dx, iy + dy, iz + dz
+        valid = ((jx >= 0) & (jx < nxn) & (jy >= 0) & (jy < nyn)
+                 & (jz >= 0) & (jz < nzn))
+        j = jx + jy * nxn + jz * nxn * nyn
+        cxx, cyy, czz = jx % px, jy % py, jz % pz
+        base = ((czz * py + cyy) * px + cxx) * 3
+        for b in range(3):
+            vals = W[base + b, rows_idx, :]      # [N_c, 3]
+            blocks_full[valid, o_idx, :, b] = vals[valid]
+        cols_full[valid, o_idx] = j[valid]
+
+    # pack rows: drop zero blocks, fix dofs whose Galerkin diagonal is 0
+    nz = (np.abs(blocks_full).max(axis=(2, 3)) > 0) & (cols_full < N_c)
+    o_diag = offsets.index((0, 0, 0))
+    diag = blocks_full[:, o_diag][:, np.arange(3), np.arange(3)]  # [N_c,3]
+    mask_new = np.asarray(mask_c, np.float64).reshape(N_c, 3).copy()
+    mask_new[diag <= 0] = 0.0
+    counts = nz.sum(axis=1)
+    D = max(int(counts.max()) if N_c else 1, 1)
+    order = np.argsort(~nz, axis=1, kind="stable")[:, :D]
+    packed_nz = np.take_along_axis(nz, order, axis=1)
+    cols_p = np.where(packed_nz,
+                      np.take_along_axis(cols_full, order, axis=1), N_c)
+    blocks_p = np.where(packed_nz[:, :, None, None],
+                        np.take_along_axis(
+                            blocks_full, order[:, :, None, None]
+                            .repeat(3, 2).repeat(3, 3), axis=1), 0.0)
+    ell = ELLBlockOperator.from_block_rows(cols_p, blocks_p,
+                                           mask_new.reshape(-1), dtype)
+    return ell, mask_new.reshape(-1)
+
+
+def _rap_host(ell, parents: np.ndarray, weights: np.ndarray,
+              n_coarse_nodes: int, mask_c: np.ndarray, dtype):
+    """Host Galerkin triple product A_{l+1} = P^T A_l P between ELL levels
+    (small matrices — scipy CSR math), returning (ELL operator, mask)."""
+    import scipy.sparse as sp
+    from .ell import ELLBlockOperator
+
+    K = ell.to_scipy_bsr()                       # raw fp64
+    N_f = parents.shape[0]
+    live = (weights > 0) & (parents < n_coarse_nodes)
+    rows = np.repeat(np.arange(N_f), parents.shape[1]).reshape(
+        N_f, -1)[live]
+    P_node = sp.coo_matrix((weights[live], (rows, parents[live])),
+                           shape=(N_f, n_coarse_nodes)).tocsr()
+    P_dof = sp.kron(P_node, sp.eye(3), format="csr")
+    A2 = (P_dof.T @ K @ P_dof).tocsr()
+    # prune numerical noise to keep the ELL width tight
+    if A2.nnz:
+        tol = 1e-14 * np.abs(A2.diagonal()).max()
+        A2.data[np.abs(A2.data) < tol] = 0.0
+        A2.eliminate_zeros()
+    # fix dofs with empty/zero diagonal
+    d = A2.diagonal()
+    mask_new = np.asarray(mask_c, np.float64).reshape(-1).copy()
+    mask_new[d <= 0] = 0.0
+    return (ELLBlockOperator.from_scipy_bsr(A2, mask_new, dtype),
+            mask_new)
+
+
+def estimate_smoother_lambda_max(op, binv, iters: int = 30,
+                                 seed: int = 0) -> float:
+    """lambda_max(B^-1 A) by power iteration (one jitted program).  The
+    damped block-Jacobi smoother needs omega * lambda_max < 2 to contract
+    (docs/PERF_NOTES.md: omega=0.9 already diverges at 1.25:1 cell
+    anisotropy); unstructured meshes can push lambda_max past the
+    structured-grid value, so it is measured, not assumed."""
+    n = op.n_dofs
+    dtype = op.free_mask.dtype
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype)
+    v0 = v0 * op.free_mask
+
+    @jax.jit
+    def run(v):
+        def step(_, carry):
+            v, _ = carry
+            w = _einsum("nab,nb->na", binv,
+                           op.matvec(v).reshape(-1, 3)).reshape(-1)
+            lam = jnp.linalg.norm(w)
+            return w / jnp.where(lam == 0, 1.0, lam), lam
+        return jax.lax.fori_loop(
+            0, iters, step, (v / jnp.linalg.norm(v), jnp.asarray(0.0,
+                                                                 dtype)))
+
+    _, lam = run(v0)
+    return float(lam)
+
+
+def build_unstructured_multigrid(
+        mesh: Mesh, lam, mu,
+        free_mask: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+        omega: Optional[float] = None, nu: int = 2,
+        n_levels: Optional[int] = None,
+        max_coarse_dofs: int = 4000,
+        coarsen: float = 2.0,
+        use_pallas: Optional[bool] = None,
+        order: int = 2,
+        smoother: str = "chebyshev",
+        verbose: bool = False,
+) -> Tuple[StiffnessOperator, MultigridPreconditioner]:
+    """Matrix-free V-cycle preconditioner for an ARBITRARY imported mesh.
+
+    Fine level = the general :class:`StiffnessOperator` on the mesh;
+    coarse levels = stencil operators on an embedded voxel lattice with
+    material fractions.  ``lam``/``mu`` may be per-element arrays (SIMP).
+    The default smoother is Chebyshev with measured per-level
+    lambda_max(B^-1 A); ``smoother="jacobi"`` with ``omega=None`` instead
+    sets omega = min(0.7, 1.4 / lambda_max) at the fine level.
+
+    Returns (fine operator, MultigridPreconditioner) — a drop-in ``M``
+    for :func:`..fem.solvers.cg`.
+
+    Match: reference FiniteElementAnalysis.jl:547 (any-mesh solve) with
+    mesh-independent iteration counts instead of Jacobi-PCG scaling.
+    """
+    from ..utils.terminal import log
+
+    C = mesh.n_cells
+    lam_e = np.broadcast_to(np.asarray(lam, np.float64), (C,))
+    mu_e = np.broadcast_to(np.asarray(mu, np.float64), (C,))
+    if free_mask is None:
+        free_mask = np.ones(mesh.n_dofs)
+    free_np = np.asarray(free_mask, np.float64).reshape(-1)
+
+    # --- fine level ---------------------------------------------------------
+    dmesh = mesh.device(dtype=dtype)
+    op = StiffnessOperator.build(dmesh, lam_e, mu_e,
+                                 free_mask=jnp.asarray(free_np, dtype),
+                                 mode="otf", order=order,
+                                 use_pallas=use_pallas)
+    binv_fine = block_jacobi_preconditioner(op.node_blocks_raw(),
+                                            op.free_mask)
+
+    # --- voxel lattice dims -------------------------------------------------
+    lo, hi = mesh.bounding_box()
+    extent = np.maximum(hi - lo, 1e-300)
+    # voxel edge ~ coarsen x mean node spacing (bbox-based estimate)
+    h = coarsen * (float(np.prod(extent))
+                   / max(mesh.n_nodes, 1)) ** (1.0 / 3.0)
+    dims0 = np.maximum(np.round(extent / h).astype(int), 1)
+
+    # structured levels below the voxel level: round dims up to multiples
+    # of 2^(L-1); pick the fewest voxel levels whose coarsest fits the
+    # dense inverse
+    def rounded(L):
+        f = 2 ** (L - 1)
+        dr = ((dims0 + f - 1) // f) * f
+        nd = 3 * int(np.prod(dr // f + 1))
+        return dr, nd
+
+    if n_levels is not None:
+        L = max(int(n_levels) - 1, 1)
+        dims_r, ndc = rounded(L)
+    else:
+        L = 1
+        while True:
+            dims_r, ndc = rounded(L)
+            if ndc <= max_coarse_dofs or L >= 12:
+                break
+            L += 1
+    if ndc > max_coarse_dofs:
+        raise ValueError(
+            f"coarsest voxel level has {ndc} dofs > max_coarse_dofs="
+            f"{max_coarse_dofs}; raise max_coarse_dofs or n_levels")
+    vx, vy, vz = (int(x) for x in dims_r)
+    if verbose:
+        log(f"unstructured MG: voxel lattice {vx}x{vy}x{vz}, "
+            f"{L} voxel level(s), coarsest {ndc} dofs")
+
+    # --- fine → voxel transfer + Galerkin level 1 ----------------------------
+    parents, weights, inc = build_voxel_transfer(mesh.coords, lo, hi,
+                                                 (vx, vy, vz))
+    transfer0 = Transfer(jnp.asarray(parents),
+                         jnp.asarray(weights, dtype), jnp.asarray(inc))
+    n_vox_nodes = (vx + 1) * (vy + 1) * (vz + 1)
+    fixed_c = propagate_fixed(parents, weights,
+                              free_np.reshape(-1, 3) == 0, n_vox_nodes)
+    mask_c = np.where(fixed_c, 0.0, 1.0).reshape(-1)
+
+    lam_max_fine = (estimate_smoother_lambda_max(op, binv_fine)
+                    if smoother == "chebyshev" or omega is None else None)
+    levels = [MGLevel(op, binv_fine, transfer0, lam_max=lam_max_fine)]
+
+    # coupling reach on the lattice: an element spanning k voxels along an
+    # axis links corners k+1 apart; reach 2 covers elements up to one
+    # voxel wide (the coarsen>=2 default guarantees this for graded
+    # meshes, but irregular imports can contain outlier elements)
+    ext = mesh.coords[mesh.conn].max(axis=1) - mesh.coords[mesh.conn].min(
+        axis=1)                                   # [C, 3]
+    h_vox = (np.asarray(hi) - np.asarray(lo)) / np.array([vx, vy, vz])
+    reach = tuple(int(r) for r in
+                  np.clip(np.ceil(ext.max(axis=0) / h_vox) + 1, 2, 4))
+    if verbose and reach != (2, 2, 2):
+        log(f"unstructured MG: large elements -> probe reach {reach}")
+
+    ell, mask_c = galerkin_voxel_operator(op, transfer0, mask_c,
+                                          (vx, vy, vz), reach=reach,
+                                          dtype=dtype)
+
+    # --- Galerkin (RAP) coarser levels ---------------------------------------
+    cur_dims = (vx, vy, vz)
+    for li in range(L):
+        binv = block_jacobi_preconditioner(ell.node_blocks_raw(),
+                                           ell.free_mask)
+        lam_max_l = (estimate_smoother_lambda_max(ell, binv)
+                     if smoother == "chebyshev" else None)
+        transfer = None
+        if li + 1 < L:
+            cnx, cny, cnz = cur_dims
+            p2, w2, i2 = build_transfer_tables(cnx, cny, cnz)
+            transfer = Transfer(jnp.asarray(p2), jnp.asarray(w2, dtype),
+                                jnp.asarray(i2))
+            n_coarse = (cnx // 2 + 1) * (cny // 2 + 1) * (cnz // 2 + 1)
+            fixed_next = propagate_fixed(p2, w2,
+                                         mask_c.reshape(-1, 3) == 0,
+                                         n_coarse)
+            mask_next = np.where(fixed_next, 0.0, 1.0).reshape(-1)
+            levels.append(MGLevel(ell, binv, transfer, lam_max=lam_max_l))
+            ell, mask_c = _rap_host(ell, p2, w2, n_coarse, mask_next,
+                                    dtype)
+            cur_dims = (cnx // 2, cny // 2, cnz // 2)
+        else:
+            levels.append(MGLevel(ell, binv, None, lam_max=lam_max_l))
+
+    # --- coarsest level: eigendecomposition pseudo-inverse -------------------
+    # On porous/optimized geometry a voxel can contain fewer fine nodes
+    # than its corners carry coarse basis functions, making P^T A P
+    # locally RANK-DEFICIENT (nonzero diagonal, singular matrix) — a plain
+    # inverse explodes the V-cycle.  The eigenvalue-cutoff pseudo-inverse
+    # keeps the coarse correction an A-orthogonal projection onto the
+    # well-represented subspace: still exactly non-expansive.
+    K_c = ell.to_dense_constrained()
+    K_c = 0.5 * (K_c + K_c.T)
+    evals, evecs = np.linalg.eigh(K_c)
+    cut = max(float(evals.max()), 1e-300) * 1e-10
+    inv_e = np.where(evals > cut, 1.0 / np.where(evals > cut, evals, 1.0),
+                     0.0)
+    inv_np = (evecs * inv_e) @ evecs.T
+    m_c = np.asarray(mask_c, np.float64).reshape(-1)
+    coarse_inv = jnp.asarray(m_c[:, None] * inv_np * m_c[None, :], dtype)
+
+    # --- smoother damping ----------------------------------------------------
+    if omega is None:
+        omega = float(min(0.7, 1.4 / max(lam_max_fine, 1e-6)))
+    if verbose:
+        log(f"unstructured MG: lambda_max(B^-1 A) ~ "
+            f"{lam_max_fine if lam_max_fine else 0:.2f}, omega = "
+            f"{omega:.3f}, smoother = {smoother}")
+
+    mg = MultigridPreconditioner(tuple(levels[:-1]), coarse_inv,
+                                 omega=omega, nu=nu, smoother=smoother)
+    return op, mg

@@ -26,8 +26,17 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 import numpy as np
 
 from ..mesh import DIM, DeviceMesh, Mesh, element_dofs
@@ -86,11 +95,15 @@ class StiffnessOperator:
                                    order)
         if use_pallas is None:
             # fused Pallas apply: 15x faster than the einsum lowering on
-            # TPU (tools/tpu_bisect7); interpret mode would slow CPU runs
+            # TPU (tools/tpu_bisect7); interpret mode would slow CPU runs.
+            # fp64 kernels do not compile on TPU — gate on the compute
+            # dtype so an x64 solve falls back to the einsum path instead
+            # of crashing at compile time.
             import jax as _jax
             use_pallas = (_jax.default_backend() == "tpu"
-                          and dmesh.element_type in ("tet4", "hex8")
-                          and mode == "otf")
+                          and dmesh.element_type in ("tet4", "hex8", "tet10")
+                          and mode == "otf"
+                          and dtype in (jnp.float32, jnp.bfloat16))
         return StiffnessOperator(dmesh, plan, lam, mu, free_mask, ke,
                                  order, bool(use_pallas))
 
@@ -140,7 +153,7 @@ class StiffnessOperator:
         k = dm.conn.shape[1]
         u_e = self._gather_rows(u)                      # [C, k, 3]
         if self.ke is not None:
-            f_e = jnp.einsum("cij,cj->ci", self.ke,
+            f_e = _einsum("cij,cj->ci", self.ke,
                              u_e.reshape(-1, k * DIM)).reshape(-1, k, DIM)
         elif self.use_pallas and dm.element_type == "tet4":
             from ..ops.pallas_kernels import tet4_apply_pallas
@@ -152,6 +165,10 @@ class StiffnessOperator:
             from ..ops.pallas_kernels import hex8_apply_pallas
             coords_e = dm.coords[dm.conn]
             f_e = hex8_apply_pallas(coords_e, u_e, self.lam, self.mu)
+        elif self.use_pallas and dm.element_type == "tet10":
+            from ..ops.pallas_kernels import tet10_apply_pallas
+            coords_e = dm.coords[dm.conn]
+            f_e = tet10_apply_pallas(coords_e, u_e, self.lam, self.mu)
         else:
             coords_e = dm.coords[dm.conn]
             f_e = apply_element_stiffness(
@@ -177,9 +194,9 @@ class StiffnessOperator:
         g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
         g2 = g * g
         norm2 = jnp.sum(g2, axis=-1, keepdims=True)     # [C,q,k,1]
-        d = jnp.einsum("cq,cqka->cka",
+        d = _einsum("cq,cqka->cka",
                        wdet * (self.lam + self.mu)[:, None], g2) \
-            + jnp.einsum("cq,cqka->cka", wdet * self.mu[:, None],
+            + _einsum("cq,cqka->cka", wdet * self.mu[:, None],
                          jnp.broadcast_to(norm2, g2.shape))
         return self._scatter_rows(d)
 
@@ -196,10 +213,10 @@ class StiffnessOperator:
         dm = self.dmesh
         coords_e = dm.coords[dm.conn]
         g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
-        outer = jnp.einsum("cq,cqka,cqkb->ckab",
+        outer = _einsum("cq,cqka,cqkb->ckab",
                            wdet * self.lam[:, None], g, g) \
-            + jnp.einsum("cq,cqkb,cqka->ckab", wdet * self.mu[:, None], g, g)
-        norm2 = jnp.einsum("cq,cqka,cqka->ck", wdet * self.mu[:, None], g, g)
+            + _einsum("cq,cqkb,cqka->ckab", wdet * self.mu[:, None], g, g)
+        norm2 = _einsum("cq,cqka,cqka->ck", wdet * self.mu[:, None], g, g)
         eye = jnp.eye(DIM, dtype=g.dtype)
         blocks = outer + norm2[..., None, None] * eye
         # scatter per-node: segment over node ids

@@ -197,6 +197,16 @@ class StructuredStiffnessOperator:
         m = self.free_mask
         return m * m * self.diagonal_raw() + (1.0 - m)
 
+    # -- reductions -----------------------------------------------------------
+
+    def energy(self, u: jnp.ndarray) -> jnp.ndarray:
+        """0.5 u^T K u (reference: FiniteElementAnalysis.jl:550), same
+        contract as StiffnessOperator.energy."""
+        from .solvers import precise_dtype
+        Ku = self.matvec(u)
+        pd = precise_dtype()
+        return 0.5 * jnp.vdot(u.astype(pd), Ku.astype(pd))
+
 
 jax.tree_util.register_pytree_node(
     StructuredStiffnessOperator,

@@ -44,7 +44,9 @@ from .utils.terminal import log
 #: Node indices are 0-based here (the reference is 1-based Julia).
 FACE_TABLES: Dict[str, tuple] = {
     "tet4": ((0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)),
-    "tet10": ((0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)),  # corner nodes only
+    # corner nodes only — face IDENTITY/topology (a face is uniquely keyed
+    # by its corners); quadrature and node selection use FULL_FACE_TABLES
+    "tet10": ((0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)),
     "hex8": (
         (0, 3, 2, 1),  # bottom (z=-1)
         (0, 1, 5, 4),  # front  (y=-1)
@@ -56,6 +58,19 @@ FACE_TABLES: Dict[str, tuple] = {
     "tri3": ((0, 1), (1, 2), (2, 0)),
     "quad4": ((0, 1), (1, 2), (2, 3), (3, 0)),
 }
+
+#: full face tables including higher-order nodes, used for facet
+#: quadrature (consistent quadratic load vectors) and surface-node
+#: selection; VTK_QUADRATIC_TRIANGLE order [v0, v1, v2, m01, m12, m20].
+#: Mid-edge ids derive from EDGE_TABLES['tet4'] ((0,1),(1,2),(2,0),(0,3),
+#: (1,3),(2,3)) offset by the 4 corner slots.
+FULL_FACE_TABLES: Dict[str, tuple] = dict(FACE_TABLES)
+FULL_FACE_TABLES["tet10"] = (
+    (0, 2, 1, 6, 5, 4),   # corners (0,2,1): mids (0,2)->6, (2,1)->5, (1,0)->4
+    (0, 1, 3, 4, 8, 7),   # (0,1)->4, (1,3)->8, (3,0)->7
+    (1, 2, 3, 5, 9, 8),   # (1,2)->5, (2,3)->9, (3,1)->8
+    (0, 3, 2, 7, 9, 6),   # (0,3)->7, (3,2)->9, (2,0)->6
+)
 
 #: tet edge table in Ferrite/VTK quadratic-node order: mid-edge node k of a
 #: tet10 sits on edge EDGES['tet4'][k] (VTK_QUADRATIC_TETRA ordering).
@@ -218,6 +233,9 @@ class Mesh:
                 f"number of cells ({len(conn)})")
         self.cellsets: Dict[str, np.ndarray] = dict(cellsets or {})
         self._surface_cache = None  # lazy (reference: SelectNodesForBC.jl:30-38)
+        #: set by models/beams.py generators: {"dims": (nx,ny,nz), "lo", "hi"}
+        #: — enables the stencil-operator/multigrid fast path in solve_system
+        self.structured_info = None
 
     # -- basic queries ------------------------------------------------------
 

@@ -57,8 +57,14 @@ def generate_grid_hex(nx: int, ny: int, nz: int,
                       hi: Sequence[float] = (1.0, 1.0, 1.0)) -> Mesh:
     """Structured hex8 box grid (Ferrite generate_grid(Hexahedron, ...)
     equivalent)."""
-    return Mesh(_box_nodes(nx, ny, nz, lo, hi), _hex_conn(nx, ny, nz),
+    mesh = Mesh(_box_nodes(nx, ny, nz, lo, hi), _hex_conn(nx, ny, nz),
                 "hex8")
+    # structured-box provenance: lets solve_system pick the gather-free
+    # stencil/multigrid fast path (fem/structured.py, fem/multigrid.py)
+    mesh.structured_info = {"dims": (nx, ny, nz),
+                            "lo": tuple(float(v) for v in lo),
+                            "hi": tuple(float(v) for v in hi)}
+    return mesh
 
 
 def generate_grid_tet(nx: int, ny: int, nz: int,
@@ -67,7 +73,11 @@ def generate_grid_tet(nx: int, ny: int, nz: int,
     """Structured tet4 box grid: 6 conforming tets per hex cell."""
     hexes = _hex_conn(nx, ny, nz)                       # [H, 8]
     conn = hexes[:, _TET_SPLIT].reshape(-1, 4).astype(np.int32)
-    return Mesh(_box_nodes(nx, ny, nz, lo, hi), conn, "tet4")
+    mesh = Mesh(_box_nodes(nx, ny, nz, lo, hi), conn, "tet4")
+    mesh.structured_info = {"dims": (nx, ny, nz),
+                            "lo": tuple(float(v) for v in lo),
+                            "hi": tuple(float(v) for v in hi)}
+    return mesh
 
 
 def refined_beam(target_tets: int = 1_000_000,
