@@ -89,3 +89,81 @@ def test_hex8_apply_pallas_matches_einsum():
                               interpret=True)
     np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
                                rtol=1e-11, atol=1e-12)
+
+
+def _hex_batch(perturb=True):
+    from topopteval_tpu.models.beams import generate_grid_hex
+    mesh = generate_grid_hex(4, 3, 2, (0, 0, 0), (2.0, 1.5, 1.0))
+    coords = mesh.coords.copy()
+    if perturb:                      # non-affine hexes exercise the full
+        rng = np.random.default_rng(7)   # isoparametric path
+        coords += rng.uniform(-0.05, 0.05, coords.shape)
+    dmesh_coords = jnp.asarray(coords)
+    coords_e = dmesh_coords[jnp.asarray(mesh.conn)]
+    C = coords_e.shape[0]
+    return coords_e, jnp.full(C, LAM, jnp.float64), jnp.full(
+        C, MU, jnp.float64)
+
+
+def _tet10_batch():
+    mesh = generate_grid_tet(3, 2, 2, (0, 0, 0), (1.5, 1.0, 1.0))
+    mesh = mesh.to_quadratic()
+    coords = mesh.coords.copy()
+    rng = np.random.default_rng(8)   # curve the mid-edge nodes slightly
+    coords[mesh.conn[:, 4:].reshape(-1)] += rng.uniform(
+        -0.01, 0.01, (mesh.conn[:, 4:].size, 3))
+    dmesh_coords = jnp.asarray(coords)
+    coords_e = dmesh_coords[jnp.asarray(mesh.conn)]
+    C = coords_e.shape[0]
+    return coords_e, jnp.full(C, LAM, jnp.float64), jnp.full(
+        C, MU, jnp.float64)
+
+
+def test_hex8_ke_pallas_matches_einsum():
+    from topopteval_tpu.ops.pallas_kernels import \
+        hex8_element_stiffness_pallas
+    coords_e, lam, mu = _hex_batch()
+    ke_ref = element_stiffness(coords_e, lam, mu, "hex8", 2)
+    ke_pal = hex8_element_stiffness_pallas(coords_e, lam, mu, block=128,
+                                           interpret=True)
+    np.testing.assert_allclose(np.asarray(ke_pal), np.asarray(ke_ref),
+                               rtol=1e-11, atol=1e-12)
+
+
+def test_tet10_apply_pallas_matches_einsum():
+    from topopteval_tpu.ops.pallas_kernels import tet10_apply_pallas
+    coords_e, lam, mu = _tet10_batch()
+    C = coords_e.shape[0]
+    rng = np.random.default_rng(2)
+    u_e = jnp.asarray(rng.standard_normal((C, 10, 3)))
+    f_ref = apply_element_stiffness(coords_e, u_e, lam, mu, "tet10", 2)
+    f_pal = tet10_apply_pallas(coords_e, u_e, lam, mu, block=128,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               rtol=1e-10, atol=1e-11)
+
+
+def test_tet10_ke_pallas_matches_einsum():
+    from topopteval_tpu.ops.pallas_kernels import \
+        tet10_element_stiffness_pallas
+    coords_e, lam, mu = _tet10_batch()
+    ke_ref = element_stiffness(coords_e, lam, mu, "tet10", 2)
+    ke_pal = tet10_element_stiffness_pallas(coords_e, lam, mu, block=128,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(ke_pal), np.asarray(ke_ref),
+                               rtol=1e-10, atol=1e-11)
+
+
+def test_tet10_ke_nonuniform_material():
+    from topopteval_tpu.ops.pallas_kernels import \
+        tet10_element_stiffness_pallas
+    coords_e, _, _ = _tet10_batch()
+    C = coords_e.shape[0]
+    rng = np.random.default_rng(3)
+    lam = jnp.asarray(rng.uniform(0.1, 2.0, C))
+    mu = jnp.asarray(rng.uniform(0.1, 2.0, C))
+    ke_ref = element_stiffness(coords_e, lam, mu, "tet10", 2)
+    ke_pal = tet10_element_stiffness_pallas(coords_e, lam, mu, block=128,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(ke_pal), np.asarray(ke_ref),
+                               rtol=1e-10, atol=1e-11)

@@ -303,3 +303,208 @@ def hex8_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
       jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
       jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
     return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# Generic isoparametric kernels (tet10, hex8 Ke) generated from reference
+# gradient tables — same lanes-layout scheme as the hand-written tet4/hex8
+# kernels above: element index on the 128-wide lane axis, every
+# intermediate a [BLOCK] vector on the VPU, geometry recomputed in-kernel
+# so only coords/materials/IO touch HBM.
+# (reference rule: order-2 quadrature, FiniteElementAnalysis.jl:160-168)
+# ---------------------------------------------------------------------------
+
+
+def _iso_tables(element_type: str, order: int = 2):
+    """Python-float (dn [nqp][k][3], w [nqp]) tables for kernel codegen."""
+    from .elements import element_tables
+    _, dN, w = element_tables(element_type, order)
+    dn = [[[float(dN[q, kk, b]) for b in range(3)]
+           for kk in range(dN.shape[1])] for q in range(dN.shape[0])]
+    return dn, [float(x) for x in w]
+
+
+def _make_iso_apply_kernel(dn_list, w_list, k):
+    nqp = len(w_list)
+
+    def kernel(coords_ref, u_ref, lam_ref, mu_ref, out_ref):
+        x = [[coords_ref[3 * kk + a, :] for a in range(3)]
+             for kk in range(k)]
+        u = [[u_ref[3 * kk + a, :] for a in range(3)] for kk in range(k)]
+        lam = lam_ref[0, :]
+        mu = mu_ref[0, :]
+        f = [[None] * 3 for _ in range(k)]
+        for qp in range(nqp):
+            dn = dn_list[qp]
+            J = [[sum(x[kk][a] * dn[kk][b] for kk in range(k))
+                  for b in range(3)] for a in range(3)]
+            invJ, det = _inv3_scalars(J)
+            g = [[sum(dn[kk][b] * invJ[b][a] for b in range(3))
+                  for a in range(3)] for kk in range(k)]
+            gu = [[sum(u[kk][a] * g[kk][b] for kk in range(k))
+                   for b in range(3)] for a in range(3)]
+            tr = gu[0][0] + gu[1][1] + gu[2][2]
+            lam_tr = lam * tr
+            sig = [[mu * (gu[a][b] + gu[b][a])
+                    + (lam_tr if a == b else 0.0)
+                    for b in range(3)] for a in range(3)]
+            wdet = det * w_list[qp]
+            for kk in range(k):
+                for a in range(3):
+                    val = wdet * (sig[a][0] * g[kk][0]
+                                  + sig[a][1] * g[kk][1]
+                                  + sig[a][2] * g[kk][2])
+                    f[kk][a] = val if f[kk][a] is None else f[kk][a] + val
+        for kk in range(k):
+            for a in range(3):
+                out_ref[3 * kk + a, :] = f[kk][a]
+
+    return kernel
+
+
+def _make_iso_ke_kernel(dn_list, w_list, k):
+    nqp = len(w_list)
+    ek = 3 * k
+
+    def kernel(coords_ref, lam_ref, mu_ref, out_ref):
+        x = [[coords_ref[3 * kk + a, :] for a in range(3)]
+             for kk in range(k)]
+        lam = lam_ref[0, :]
+        mu = mu_ref[0, :]
+        acc = [[None] * ek for _ in range(ek)]
+        for qp in range(nqp):
+            dn = dn_list[qp]
+            J = [[sum(x[kk][a] * dn[kk][b] for kk in range(k))
+                  for b in range(3)] for a in range(3)]
+            invJ, det = _inv3_scalars(J)
+            g = [[sum(dn[kk][b] * invJ[b][a] for b in range(3))
+                  for a in range(3)] for kk in range(k)]
+            wdet = det * w_list[qp]
+            lam_w = lam * wdet
+            mu_w = mu * wdet
+            dots = [[g[i][0] * g[j][0] + g[i][1] * g[j][1]
+                     + g[i][2] * g[j][2] for j in range(k)]
+                    for i in range(k)]
+            mdots = [[mu_w * dots[i][j] for j in range(k)]
+                     for i in range(k)]
+            for i in range(k):
+                for a in range(3):
+                    row = 3 * i + a
+                    for j in range(k):
+                        for b in range(3):
+                            val = (lam_w * (g[i][a] * g[j][b])
+                                   + mu_w * (g[i][b] * g[j][a]))
+                            if a == b:
+                                val = val + mdots[i][j]
+                            col = 3 * j + b
+                            acc[row][col] = (val if acc[row][col] is None
+                                             else acc[row][col] + val)
+        for row in range(ek):
+            for col in range(ek):
+                out_ref[row * ek + col, :] = acc[row][col]
+
+    return kernel
+
+
+def _iso_apply(element_type: str, coords_e, u_e, lam, mu, block,
+               interpret):
+    dn, w = _iso_tables(element_type)
+    k = len(dn[0])
+    kernel = _make_iso_apply_kernel(dn, w, k)
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+
+    def t(a):
+        return jnp.pad(jnp.swapaxes(a.reshape(C, -1), 0, 1),
+                       ((0, 0), (0, Cp - C)))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Cp // block,),
+        in_specs=[
+            pl.BlockSpec((3 * k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * k, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * k, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3 * k, Cp), coords_e.dtype),
+        interpret=interpret,
+    )(t(coords_e), t(u_e),
+      jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
+      jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
+    return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, k, 3)
+
+
+def _iso_ke(element_type: str, coords_e, lam, mu, block, interpret,
+            transpose_out):
+    dn, w = _iso_tables(element_type)
+    k = len(dn[0])
+    ek = 3 * k
+    kernel = _make_iso_ke_kernel(dn, w, k)
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+    ct = jnp.pad(jnp.swapaxes(coords_e.reshape(C, ek), 0, 1),
+                 ((0, 0), (0, Cp - C)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(Cp // block,),
+        in_specs=[
+            pl.BlockSpec((ek, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ek * ek, block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ek * ek, Cp), coords_e.dtype),
+        interpret=interpret,
+    )(ct,
+      jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
+      jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
+    if not transpose_out:
+        return out[:, :C]
+    return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, ek, ek)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def tet10_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
+                       lam: jnp.ndarray, mu: jnp.ndarray,
+                       block: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused f_e = Ke @ u_e for Tet10 batches (isoparametric, 4-point
+    order-2 rule — the reference's quadratic path,
+    FiniteElementAnalysis.jl:160-168)."""
+    return _iso_apply("tet10", coords_e, u_e, lam, mu, block, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "transpose_out"))
+def hex8_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
+                                  mu: jnp.ndarray, block: int = 256,
+                                  interpret: bool = False,
+                                  transpose_out: bool = True
+                                  ) -> jnp.ndarray:
+    """Fused Hex8 Ke batch [C,8,3] -> [C,24,24] (2x2x2 Gauss)."""
+    return _iso_ke("hex8", coords_e, lam, mu, block, interpret,
+                   transpose_out)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret",
+                                             "transpose_out"))
+def tet10_element_stiffness_pallas(coords_e: jnp.ndarray,
+                                   lam: jnp.ndarray, mu: jnp.ndarray,
+                                   block: int = 128,
+                                   interpret: bool = False,
+                                   transpose_out: bool = True
+                                   ) -> jnp.ndarray:
+    """Fused Tet10 Ke batch [C,10,3] -> [C,30,30] (4-point rule)."""
+    return _iso_ke("tet10", coords_e, lam, mu, block, interpret,
+                   transpose_out)
