@@ -40,8 +40,8 @@ def main():
     cutoffs = np.linspace(0.1, 0.7, 4)
     batch = np.stack([np.where(density > c, density, 0.0)
                       for c in cutoffs])
-    energies, iters = evaluate_design_batch(problem, batch, tol=1e-8,
-                                            maxiter=20000)
+    energies, iters, conv = evaluate_design_batch(problem, batch, tol=1e-8,
+                                                  maxiter=20000)
     for c, e in zip(cutoffs, energies[:, 0]):
         tt.print_data(f"  void cutoff {c:.2f}: compliance {e:.4f}")
 

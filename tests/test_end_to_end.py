@@ -206,8 +206,9 @@ def test_save_load_result_roundtrip(cantilever, tmp_path):
 def test_evaluate_design_batch_matches_simp_solve(simp_beam, beam_hex_path):
     from topopteval_tpu.api import evaluate_design_batch
     density = extract_cell_density(beam_hex_path)
-    energies, iters = evaluate_design_batch(
+    energies, iters, conv = evaluate_design_batch(
         simp_beam, density[None], tol=1e-10, maxiter=20000,
         dtype=jnp.float64)
+    assert conv.all()
     ref = solve_system_simp(simp_beam)
     np.testing.assert_allclose(energies[0, 0], ref.energy, rtol=1e-6)

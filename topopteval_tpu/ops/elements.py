@@ -32,6 +32,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 import numpy as np
 
 DIM = 3
@@ -192,10 +199,10 @@ def physical_gradients(coords_e: jnp.ndarray, element_type: str,
     dN = jnp.asarray(dN, dtype=coords_e.dtype)
     w = jnp.asarray(w, dtype=coords_e.dtype)
     # J[c,q,a,b] = d x_a / d xi_b = sum_k coords[c,k,a] dN[q,k,b]
-    J = jnp.einsum("cka,qkb->cqab", coords_e, dN)
+    J = _einsum("cka,qkb->cqab", coords_e, dN)
     invJ, detJ = _inv3x3(J)
     # dN/dx_a = sum_b dN_ref[q,k,b] * invJ[c,q,b,a]   (invJ = d xi/dx)
-    g = jnp.einsum("qkb,cqba->cqka", dN, invJ)
+    g = _einsum("qkb,cqba->cqka", dN, invJ)
     return g, w[None, :] * detJ
 
 
@@ -220,11 +227,11 @@ def element_stiffness(coords_e: jnp.ndarray, lam, mu, element_type: str,
     wl = wdet * lam[:, None]
     wm = wdet * mu[:, None]
     # lam * dNi_a dNj_b
-    K1 = jnp.einsum("cq,cqia,cqjb->ciajb", wl, g, g)
+    K1 = _einsum("cq,cqia,cqjb->ciajb", wl, g, g)
     # mu * dNi_b dNj_a
-    K2 = jnp.einsum("cq,cqib,cqja->ciajb", wm, g, g)
+    K2 = _einsum("cq,cqib,cqja->ciajb", wm, g, g)
     # mu * delta_ab grad.grad
-    dots = jnp.einsum("cq,cqid,cqjd->cij", wm, g, g)
+    dots = _einsum("cq,cqid,cqjd->cij", wm, g, g)
     eye = jnp.eye(DIM, dtype=coords_e.dtype)[None, None, :, None, :]
     K3 = dots[:, :, None, :, None] * eye
     Ke = K1 + K2 + K3
@@ -262,14 +269,14 @@ def apply_element_stiffness(coords_e: jnp.ndarray, u_e: jnp.ndarray,
     lam = jnp.broadcast_to(jnp.asarray(lam, coords_e.dtype), (C,))
     mu = jnp.broadcast_to(jnp.asarray(mu, coords_e.dtype), (C,))
     # grad_u[c,q,a,b] = d u_a/d x_b
-    grad_u = jnp.einsum("cqkb,cka->cqab", g, u_e)
+    grad_u = _einsum("cqkb,cka->cqab", g, u_e)
     eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
     eye = jnp.eye(DIM, dtype=coords_e.dtype)
     sigma = (lam[:, None, None, None] * tr[..., None, None] * eye
              + 2.0 * mu[:, None, None, None] * eps)
     # f_e[c,k,a] = sum_q wdet sigma[c,q,a,b] g[c,q,k,b]
-    return jnp.einsum("cq,cqab,cqkb->cka", wdet, sigma, g)
+    return _einsum("cq,cqab,cqkb->cka", wdet, sigma, g)
 
 
 def element_volumes(coords_e: jnp.ndarray, element_type: str,

