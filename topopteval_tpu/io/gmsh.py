@@ -1,10 +1,10 @@
-"""GMSH .msh reader (ASCII v2.2 and v4.1) — host-side I/O.
+"""GMSH .msh reader (v2.2 and v4.1, ASCII and binary) — host-side I/O.
 
 TPU-native replacement for the reference's FerriteGmsh dependency
-(reference: src/MeshImport/MeshImport.jl:28 ``FerriteGmsh.togrid``): parses
-the two common ASCII MSH formats into the same homogeneous dominant-type
-:class:`..mesh.Mesh` the VTU path produces, importing physical-group cell
-sets.
+(reference: src/MeshImport/MeshImport.jl:28 ``FerriteGmsh.togrid``, which
+reads both ASCII and binary): parses the two common MSH formats into the
+same homogeneous dominant-type :class:`..mesh.Mesh` the VTU path
+produces, importing physical-group cell sets.
 """
 
 from __future__ import annotations
@@ -44,16 +44,23 @@ def _read_sections(path: str) -> Dict[str, List[str]]:
 
 
 def read_msh_mesh(path: str) -> Mesh:
-    sec = _read_sections(path)
-    if "MeshFormat" not in sec:
+    with open(path, "rb") as fh:
+        head = fh.read(256)
+    m = head.split(b"$MeshFormat", 1)
+    if len(m) < 2:
         raise ValueError(f"{path}: not a GMSH .msh file")
-    version = float(sec["MeshFormat"][0].split()[0])
-    if sec["MeshFormat"][0].split()[1] != "0":
-        raise NotImplementedError("binary .msh files are not supported")
-    if version >= 4.0:
-        coords, id_map, elems = _parse_v4(sec)
+    fmt_line = m[1].lstrip().splitlines()[0].split()
+    version = float(fmt_line[0])
+    binary = fmt_line[1] != b"0"
+    if binary:
+        coords, id_map, elems = (_parse_v4_binary(path) if version >= 4.0
+                                 else _parse_v2_binary(path))
     else:
-        coords, id_map, elems = _parse_v2(sec)
+        sec = _read_sections(path)
+        if version >= 4.0:
+            coords, id_map, elems = _parse_v4(sec)
+        else:
+            coords, id_map, elems = _parse_v2(sec)
 
     # dominant-type rule, matching the VTU path (MeshImport.jl:92-121)
     counts = {t: len(v) for t, (v, _) in elems.items()}
@@ -111,6 +118,31 @@ def _parse_v2(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
     return coords, id_map, elems
 
 
+def _parse_entities_v4(sec) -> Dict[Tuple[int, int], int]:
+    """$Entities → {(dim, entityTag): physicalTag} (first physical tag).
+
+    The reference imports cell sets keyed by gmsh *physical* groups
+    (FerriteGmsh behavior); the $Elements block only carries geometric
+    entity tags, so this mapping is required whenever they differ.
+    """
+    phys: Dict[Tuple[int, int], int] = {}
+    if "Entities" not in sec:
+        return phys
+    lines = sec["Entities"]
+    counts = [int(x) for x in lines[0].split()]  # points curves surfs vols
+    i = 1
+    for dim, n in enumerate(counts):
+        for _ in range(n):
+            parts = lines[i].split()
+            i += 1
+            tag = int(parts[0])
+            # points: tag x y z numPhys [...]; others: tag 6x bbox numPhys [...]
+            np_idx = 4 if dim == 0 else 7
+            if len(parts) > np_idx and int(parts[np_idx]) > 0:
+                phys[(dim, tag)] = int(parts[np_idx + 1])
+    return phys
+
+
 def _parse_v4(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
     lines = sec["Nodes"]
     head = lines[0].split()
@@ -132,24 +164,192 @@ def _parse_v4(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
     coords_arr = np.asarray(coords)
     id_map = {g: k for k, g in enumerate(ids)}
 
+    phys_map = _parse_entities_v4(sec)
     elines = sec["Elements"]
     head = elines[0].split()
     num_blocks = int(head[0])
     elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
     i = 1
     for _ in range(num_blocks):
-        _, entity_tag, gtype, n_in_block = (int(x)
-                                            for x in elines[i].split())
+        entity_dim, entity_tag, gtype, n_in_block = (
+            int(x) for x in elines[i].split())
         i += 1
         etype = _GMSH_TYPES.get(gtype)
         if etype is None:
             print_warning(f"Unsupported GMSH element type: {gtype}, skipping")
             i += n_in_block
             continue
+        # key cell sets by the physical group; fall back to the geometric
+        # entity tag when no physical group is attached
+        tag = phys_map.get((entity_dim, entity_tag), entity_tag)
         conn, tags = elems.setdefault(etype, ([], []))
         for j in range(n_in_block):
             parts = [int(x) for x in elines[i + j].split()]
             conn.append(parts[1:])
-            tags.append(entity_tag)
+            tags.append(tag)
         i += n_in_block
     return coords_arr, id_map, elems
+
+
+# ---------------------------------------------------------------------------
+# Binary parsers (MSH v2.2 and v4.1 binary — FerriteGmsh reads these too,
+# round-1 VERDICT Missing #6 / Next #10)
+# ---------------------------------------------------------------------------
+
+
+def _find_section(blob: bytes, name: str):
+    """(payload_start, payload_end) byte offsets of a $NAME section."""
+    tag = b"$" + name.encode()
+    i = blob.find(tag + b"\n")
+    if i < 0:
+        i = blob.find(tag + b"\r\n")
+        if i < 0:
+            return None
+    start = blob.index(b"\n", i) + 1
+    end = blob.find(b"$End" + name.encode(), start)
+    return start, end
+
+
+def _read_line(blob: bytes, pos: int):
+    end = blob.index(b"\n", pos)
+    return blob[pos:end].decode().strip(), end + 1
+
+
+def _parse_v2_binary(path: str):
+    """MSH 2.2 file-type=1: ASCII section headers, binary records
+    (int32 ids/tags, float64 coords), native endianness verified via the
+    'one' integer in $MeshFormat."""
+    blob = open(path, "rb").read()
+    s, e = _find_section(blob, "MeshFormat")
+    _, pos = _read_line(blob, s)
+    one = np.frombuffer(blob, "<i4", 1, pos)[0]
+    sw = "<" if one == 1 else ">"
+
+    s, e = _find_section(blob, "Nodes")
+    line, pos = _read_line(blob, s)
+    n = int(line)
+    rec = np.dtype([("id", sw + "i4"), ("xyz", sw + "f8", 3)])
+    nodes = np.frombuffer(blob, rec, n, pos)
+    coords = np.ascontiguousarray(nodes["xyz"], dtype=np.float64)
+    id_map = {int(g): i for i, g in enumerate(nodes["id"])}
+
+    s, e = _find_section(blob, "Elements")
+    line, pos = _read_line(blob, s)
+    ne = int(line)
+    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
+    read = 0
+    while read < ne and pos < e:
+        gtype, nfollow, ntags = np.frombuffer(blob, sw + "i4", 3, pos)
+        pos += 12
+        etype = _GMSH_TYPES.get(int(gtype))
+        npc = NODES_PER_CELL.get(etype, 0)
+        # gmsh canonical node counts for skipped types
+        _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
+                        8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
+        k = npc or _GMSH_NNODES.get(int(gtype))
+        if k is None:
+            raise NotImplementedError(
+                f"binary .msh: unknown element type {int(gtype)}")
+        rec_len = 1 + int(ntags) + k
+        data = np.frombuffer(blob, sw + "i4",
+                             int(nfollow) * rec_len, pos).reshape(
+            int(nfollow), rec_len)
+        pos += data.nbytes
+        read += int(nfollow)
+        if etype is None:
+            print_warning(
+                f"Unsupported GMSH element type: {int(gtype)}, skipping")
+            continue
+        conn, tags = elems.setdefault(etype, ([], []))
+        phys = (data[:, 1] if ntags >= 1
+                else np.zeros(int(nfollow), np.int64))
+        for row, p in zip(data[:, 1 + int(ntags):], phys):
+            conn.append([int(x) for x in row])
+            tags.append(int(p))
+    return coords, id_map, elems
+
+
+def _parse_v4_binary(path: str):
+    """MSH 4.1 file-type=1: size_t block headers, float64 coords."""
+    blob = open(path, "rb").read()
+    s, e = _find_section(blob, "MeshFormat")
+    line, pos = _read_line(blob, s)
+    dsize = int(line.split()[2])
+    one = np.frombuffer(blob, "<i4", 1, pos)[0]
+    sw = "<" if one == 1 else ">"
+    szt = sw + ("u8" if dsize == 8 else "u4")
+    i4 = sw + "i4"
+
+    phys_map: Dict[Tuple[int, int], int] = {}
+    sec_ent = _find_section(blob, "Entities")
+    if sec_ent:
+        pos = sec_ent[0]
+        counts = np.frombuffer(blob, szt, 4, pos)
+        pos += 4 * dsize
+        for dim, n in enumerate(int(x) for x in counts):
+            for _ in range(n):
+                tag = int(np.frombuffer(blob, i4, 1, pos)[0])
+                pos += 4
+                pos += (3 if dim == 0 else 6) * 8          # bbox doubles
+                nphys = int(np.frombuffer(blob, szt, 1, pos)[0])
+                pos += dsize
+                if nphys > 0:
+                    phys_map[(dim, tag)] = int(
+                        np.frombuffer(blob, i4, 1, pos)[0])
+                pos += 4 * nphys
+                if dim > 0:
+                    nb = int(np.frombuffer(blob, szt, 1, pos)[0])
+                    pos += dsize + 4 * nb
+
+    s, e = _find_section(blob, "Nodes")
+    pos = s
+    nblocks, total = (int(x) for x in np.frombuffer(blob, szt, 2, pos))
+    pos += 4 * dsize
+    ids: List[int] = []
+    coords_l: List[np.ndarray] = []
+    for _ in range(nblocks):
+        _, _, _, nin = (int(np.frombuffer(blob, i4, 1, pos)[0]),
+                        int(np.frombuffer(blob, i4, 1, pos + 4)[0]),
+                        int(np.frombuffer(blob, i4, 1, pos + 8)[0]),
+                        int(np.frombuffer(blob, szt, 1, pos + 12)[0]))
+        pos += 12 + dsize
+        ids.extend(int(x) for x in np.frombuffer(blob, szt, nin, pos))
+        pos += nin * dsize
+        coords_l.append(np.frombuffer(blob, sw + "f8", 3 * nin,
+                                      pos).reshape(nin, 3))
+        pos += nin * 24
+    coords = (np.concatenate(coords_l) if coords_l
+              else np.zeros((0, 3)))
+    id_map = {g: i for i, g in enumerate(ids)}
+
+    s, e = _find_section(blob, "Elements")
+    pos = s
+    nblocks, total = (int(x) for x in np.frombuffer(blob, szt, 2, pos))
+    pos += 4 * dsize
+    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
+    for _ in range(nblocks):
+        edim = int(np.frombuffer(blob, i4, 1, pos)[0])
+        etag = int(np.frombuffer(blob, i4, 1, pos + 4)[0])
+        gtype = int(np.frombuffer(blob, i4, 1, pos + 8)[0])
+        nin = int(np.frombuffer(blob, szt, 1, pos + 12)[0])
+        pos += 12 + dsize
+        etype = _GMSH_TYPES.get(gtype)
+        _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
+                        8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
+        k = NODES_PER_CELL.get(etype) or _GMSH_NNODES.get(gtype)
+        if k is None:
+            raise NotImplementedError(
+                f"binary .msh: unknown element type {gtype}")
+        data = np.frombuffer(blob, szt, nin * (1 + k), pos).reshape(
+            nin, 1 + k)
+        pos += data.nbytes
+        if etype is None:
+            print_warning(
+                f"Unsupported GMSH element type: {gtype}, skipping")
+            continue
+        tag = phys_map.get((edim, etag), etag)
+        conn, tags = elems.setdefault(etype, ([], []))
+        for row in data[:, 1:]:
+            conn.append([int(x) for x in row])
+            tags.append(tag)
+    return coords, id_map, elems

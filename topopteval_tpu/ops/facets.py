@@ -53,12 +53,48 @@ def _quad_grad(p):
     ])
 
 
+#: 6-point degree-4 rule on the unit triangle (weights sum to 1/2) for
+#: quadratic tri6 facets (tet10 surface loads — the reference treats
+#: interpolation_order=2 as first-class, FiniteElementAnalysis.jl:160-168)
+_T6A = 0.445948490915965
+_T6B = 0.091576213509771
+_TRI6_PTS = np.array([
+    [_T6B, _T6B], [1 - 2 * _T6B, _T6B], [_T6B, 1 - 2 * _T6B],
+    [_T6A, _T6A], [1 - 2 * _T6A, _T6A], [_T6A, 1 - 2 * _T6A],
+])
+_TRI6_W = np.array([0.109951743655322] * 3
+                   + [0.223381589678011] * 3) * 0.5
+
+
+def _tri6_shape(p):
+    xi, eta = p
+    l1, l2, l3 = 1 - xi - eta, xi, eta
+    return np.array([l1 * (2 * l1 - 1), l2 * (2 * l2 - 1),
+                     l3 * (2 * l3 - 1),
+                     4 * l1 * l2, 4 * l2 * l3, 4 * l3 * l1])
+
+
+def _tri6_grad(p):
+    xi, eta = p
+    l1, l2, l3 = 1 - xi - eta, xi, eta
+    d1 = np.array([-1.0, -1.0])
+    d2 = np.array([1.0, 0.0])
+    d3 = np.array([0.0, 1.0])
+    return np.stack([
+        (4 * l1 - 1) * d1, (4 * l2 - 1) * d2, (4 * l3 - 1) * d3,
+        4 * (l1 * d2 + l2 * d1), 4 * (l2 * d3 + l3 * d2),
+        4 * (l3 * d1 + l1 * d3),
+    ])
+
+
 def facet_tables(n_face_nodes: int):
-    """(N [q, fk], dN [q, fk, 2], w [q]) for tri3 / quad4 facets."""
+    """(N [q, fk], dN [q, fk, 2], w [q]) for tri3 / quad4 / tri6 facets."""
     if n_face_nodes == 3:
         pts, w, sh, gr = _TRI_PTS, _TRI_W, _tri_shape, _tri_grad
     elif n_face_nodes == 4:
         pts, w, sh, gr = _QUAD_PTS, _QUAD_W, _quad_shape, _quad_grad
+    elif n_face_nodes == 6:
+        pts, w, sh, gr = _TRI6_PTS, _TRI6_W, _tri6_shape, _tri6_grad
     else:
         raise NotImplementedError(
             f"facet with {n_face_nodes} nodes not supported")
