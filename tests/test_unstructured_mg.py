@@ -235,3 +235,56 @@ def test_chunked_cg_matches_unchunked():
         max_iterations=2000, chunk_iterations=25, verbose=False))
     assert chunked.converged
     assert abs(chunked.energy - base.energy) / base.energy < 1e-9
+
+
+def test_solve_system_multigrid_simp_structured_escale():
+    """Per-hex SIMP material on a generated structured box rides the
+    stencil hierarchy with an escale grid (fem/structured.py SIMP path)."""
+    from topopteval_tpu.fem.structured import StructuredStiffnessOperator
+    from topopteval_tpu.materials import SIMPMaterial
+    from topopteval_tpu.api import assemble_stiffness_matrix_simp
+
+    mesh = generate_grid_tet(8, 4, 4, (0, 0, 0), (8.0, 4.0, 4.0))
+    problem = setup_problem(mesh)
+    material = SIMPMaterial(E0=1.0, nu=0.3, Emin=1e-6, p=3.0)
+    rng = np.random.default_rng(3)
+    dens_hex = rng.uniform(0.2, 1.0, mesh.n_cells // 6)
+    density = np.repeat(dens_hex, 6)          # hex-constant (6 tets/hex)
+    assemble_stiffness_matrix_simp(problem, material, density)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0, tol=1e-6))
+    apply_force(problem, nodes_at_plane(mesh, 0, 8.0, tol=1e-6),
+                [0.0, 0.0, -1.0])
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-10,
+        max_iterations=400, verbose=False))
+    assert res.converged
+    _, op, _ = problem._mg_cache
+    assert isinstance(op, StructuredStiffnessOperator)
+    assert op.escale is not None              # SIMP grid reached the op
+    direct = solve_system(problem, SolverConfig(method="direct",
+                                                verbose=False))
+    assert abs(res.energy - direct.energy) / direct.energy < 1e-8
+
+
+def test_solve_system_multigrid_hex8_fixture(beam_hex_path):
+    """Imported hex8 SIMP fixture through the voxel-Galerkin MG route."""
+    from topopteval_tpu.api import (assemble_stiffness_matrix_simp,
+                                    extract_cell_density)
+    from topopteval_tpu.materials import SIMPMaterial
+
+    mesh = import_mesh(beam_hex_path)
+    assert mesh.element_type == "hex8"
+    density = extract_cell_density(beam_hex_path)
+    problem = setup_problem(mesh)
+    material = SIMPMaterial(E0=1.0, nu=0.3, Emin=1e-8, p=3.0)
+    assemble_stiffness_matrix_simp(problem, material, density)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0, tol=1e-6))
+    apply_force(problem, nodes_at_plane(mesh, 0, 60.0, tol=1e-6),
+                [0.0, 0.0, -1.0])
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-10,
+        max_iterations=2000, verbose=False))
+    assert res.converged
+    direct = solve_system(problem, SolverConfig(method="direct",
+                                                verbose=False))
+    assert abs(res.energy - direct.energy) / direct.energy < 1e-7

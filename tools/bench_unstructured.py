@@ -1,0 +1,139 @@
+"""Round-2 VERDICT item 1 'done' criterion: a ~1M-tet IMPORTED
+unstructured mesh solves in < 5 s on one chip through the public API
+(import_mesh → setup → solve_system(preconditioner="multigrid")), with
+both integrity gates green.
+
+The mesh is the bench-scale beam written to VTU by our own writer and
+re-imported: byte-identical geometry/BCs/load to bench.py scale=16, so
+the committed fp64 oracle energy applies EXACTLY, but the import path
+carries no structured_info — solve_system must take the voxel-embedded
+Galerkin multigrid route (fem/multigrid.build_unstructured_multigrid).
+
+Prints ONE JSON line: {"metric": "e2e_unstructured_import_solve_seconds",
+...}.
+
+    python tools/bench_unstructured.py [scale]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
+                                    assemble_stiffness_matrix, import_mesh,
+                                    setup_problem, solve_system,
+                                    _get_multigrid)
+    from topopteval_tpu.config import SolverConfig
+    from topopteval_tpu.fem.bc import nodes_at_plane
+    from topopteval_tpu.io.results import write_vtu
+    from topopteval_tpu.materials import lame_parameters
+    from topopteval_tpu.models.beams import generate_grid_tet
+    from topopteval_tpu.utils import set_verbosity
+
+    set_verbosity(False)
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    nx, ny, nz = 25 * scale // 2, 4 * scale, scale
+    lam, mu = lame_parameters(1.0, 0.3)
+    dtype = jnp.float32
+
+    # --- write + import (the reference's core flow: any-mesh VTU) -----------
+    t0 = time.perf_counter()
+    gen = generate_grid_tet(nx, ny, nz, (0.0, 0.0, 0.0), (60.0, 20.0, 4.0))
+    path = os.path.join(tempfile.gettempdir(), f"unstructured_{scale}.vtu")
+    write_vtu(path, gen)
+    del gen
+    mesh = import_mesh(path)
+    assert mesh.structured_info is None       # genuinely the imported path
+    t_import = time.perf_counter() - t0
+    log(f"import: {mesh.n_cells} tets / {mesh.n_dofs} dofs in "
+        f"{t_import:.1f}s (write+read VTU)")
+
+    problem = setup_problem(mesh, dtype=dtype)
+    assemble_stiffness_matrix(problem, lam, mu)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
+    tip = nodes_at_plane(mesh, 0, 60.0)
+    apply_force(problem, tip, [0.0, 0.0, -1.0])
+
+    tol = 1e-6
+    cfg = SolverConfig(method="cg", preconditioner="multigrid",
+                       tolerance=tol, max_iterations=400,
+                       chunk_iterations=50, verbose=False)
+
+    t0 = time.perf_counter()
+    op, mg = _get_multigrid(problem)
+    t_build = time.perf_counter() - t0
+    log(f"MG build (voxel Galerkin hierarchy): {t_build:.1f}s, "
+        f"operator {type(op).__name__}, levels {len(mg.levels) + 1}, "
+        f"smoother {mg.smoother}")
+
+    res = solve_system(problem, cfg)          # warmup/compile
+    log(f"warmup: iters={res.iterations} conv={res.converged} "
+        f"rnorm={res.residual_norm:.3e}")
+    res = solve_system(problem, cfg)
+    solve_s = res.solve_time
+    iters = res.iterations
+
+    f_dev = jnp.asarray(problem.f, dtype) * op.free_mask
+    x = jnp.asarray(res.u, dtype)
+    energy = float(0.5 * jnp.vdot(x, f_dev))
+    true_r = float(jnp.linalg.norm(f_dev - op.matvec(x)))
+    rnorm0 = float(jnp.linalg.norm(f_dev))
+    xnorm = float(jnp.linalg.norm(x))
+    v = x / xnorm
+    lam_max = 0.0
+    for _ in range(20):
+        w = op.matvec(v)
+        lam_max = float(jnp.linalg.norm(w))
+        v = w / lam_max
+    eta = true_r / (lam_max * xnorm + rnorm0)
+    ok = eta <= 2e-6
+    # oracle: same geometry/BC/load as bench.py scale runs
+    table = os.path.join(REPO, "data", "oracle_energies.json")
+    e_oracle = None
+    if os.path.exists(table):
+        with open(table) as fh:
+            e_oracle = json.load(fh).get(f"tet_beam_scale_{scale}")
+    if e_oracle is not None:
+        e_rel = abs(energy - e_oracle) / abs(e_oracle)
+        ok = ok and e_rel <= 1e-4
+        log(f"oracle energy: {e_oracle:.6e}, rel err {e_rel:.2e}")
+    log(f"solve: {solve_s:.3f}s, {iters} iters, energy={energy:.6e}, "
+        f"backward_err={eta:.2e} ({'OK' if ok else 'FAILED INTEGRITY'})")
+
+    print(json.dumps({
+        "metric": "e2e_unstructured_import_solve_seconds",
+        "value": round(solve_s, 4),
+        "unit": "s",
+        "vs_baseline": round(5.0 / solve_s, 3),
+        "detail": {
+            "n_tets": mesh.n_cells, "n_dofs": mesh.n_dofs,
+            "path": "import_mesh(.vtu) -> solve_system(multigrid)",
+            "cg_iters": iters,
+            "converged": bool(res.converged) and ok,
+            "backward_error": eta,
+            "energy": energy,
+            "mg_build_seconds": round(t_build, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -324,7 +324,9 @@ def _get_multigrid(problem: Problem):
         if per_hex:
             iref = int(np.argmax(mu_e))
             lam0, mu0 = float(lam_e[iref]), float(mu_e[iref])
-            esc = (mu_h[:, 0] / mu0).reshape(nz, ny, nx)
+            # hex order from models.beams._hex_conn is x-major (ix slowest);
+            # the stencil operator wants a z-major [nz, ny, nx] grid
+            esc = (mu_h[:, 0] / mu0).reshape(nx, ny, nz).transpose(2, 1, 0)
             if np.all(esc == 1.0):
                 esc = None
             try:

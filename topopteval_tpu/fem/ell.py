@@ -54,12 +54,19 @@ class ELLBlockOperator:
         return 3 * self.n_nodes
 
     def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        # width-chunked: a full [N, D, 3] gather pads the minor dim 3 to
+        # 128 on TPU (42x transient expansion; D reaches ~100 on level-1
+        # Galerkin operators), so apply 8 block-columns at a time
         N, D = self.n_nodes, self.width
         u2 = jnp.concatenate([u.reshape(N, 3),
                               jnp.zeros((1, 3), u.dtype)], axis=0)
-        rows = u2[self.cols]                        # [N, D, 3] row gather
         B = self.blocks.reshape(N, D, 3, 3)
-        return _einsum("ndab,ndb->na", B, rows).reshape(-1)
+        out = None
+        for s in range(0, D, 8):
+            rows = u2[self.cols[:, s:s + 8]]        # [N, <=8, 3]
+            term = _einsum("ndab,ndb->na", B[:, s:s + 8], rows)
+            out = term if out is None else out + term
+        return out.reshape(-1)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         m = self.free_mask
@@ -71,11 +78,18 @@ class ELLBlockOperator:
     # -- preconditioning ------------------------------------------------------
 
     def node_blocks_raw(self) -> jnp.ndarray:
-        """Diagonal 3x3 blocks [N, 3, 3] (cols[:, j] == row index)."""
+        """Diagonal 3x3 blocks [N, 3, 3] (cols[:, j] == row index);
+        width-chunked for the same TPU padding reason as matvec_raw."""
         N, D = self.n_nodes, self.width
         B = self.blocks.reshape(N, D, 3, 3)
-        is_diag = (self.cols == jnp.arange(N, dtype=self.cols.dtype)[:, None])
-        return jnp.sum(jnp.where(is_diag[:, :, None, None], B, 0.0), axis=1)
+        rowids = jnp.arange(N, dtype=self.cols.dtype)[:, None]
+        out = None
+        for s in range(0, D, 8):
+            is_diag = self.cols[:, s:s + 8] == rowids
+            term = jnp.sum(jnp.where(is_diag[:, :, None, None],
+                                     B[:, s:s + 8], 0.0), axis=1)
+            out = term if out is None else out + term
+        return out
 
     def diagonal_raw(self) -> jnp.ndarray:
         return jax.vmap(jnp.diag)(self.node_blocks_raw()).reshape(-1)

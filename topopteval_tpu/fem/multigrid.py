@@ -25,11 +25,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# NOTE: all physics einsums pin precision="highest" — the TPU default
-# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
-# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
-# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
-_einsum = functools.partial(jnp.einsum, precision="highest")
+# NOTE: these einsums deliberately use DEFAULT matmul precision.
+# precision="highest" turns tiny-dim einsums into MXU dot_generals whose
+# operand layouts pad the minor dims 3/4 up to (8,128) tiles — a 42x HBM
+# blowup that OOMed the 1M-tet hierarchy build (docs/PERF_NOTES.md).  The
+# bf16-pass accuracy hazard only matters on CG-path operators; those live
+# in parallel/sweep.py and fem/ell.py, which keep precision="highest".
+_einsum = jnp.einsum
 
 import numpy as np
 
@@ -141,19 +143,36 @@ class Transfer:
 
     def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
         """[N_c, 3] → [N_f, 3]: row gathers + weighted sum.  Sentinel
-        parent ids index an appended zero row."""
+        parent ids index an appended zero row.
+
+        Applied slot-by-slot: a single [N_f, 8, 3] gather pads its minor
+        dim 3 → 128 on TPU (42x memory expansion — OOMed the 1M-tet
+        voxel hierarchy); eight sequential [N_f, 3] row gathers keep the
+        transient at one fine vector."""
         u_pad = jnp.concatenate(
             [u_c, jnp.zeros((1, 3), u_c.dtype)], axis=0)
-        rows = u_pad[self.parents]                           # [N_f, 8, 3]
-        return jnp.sum(rows * self.weights[:, :, None], axis=1)
+        out = None
+        for s in range(self.parents.shape[1]):
+            term = u_pad[self.parents[:, s]] * self.weights[:, s][:, None]
+            out = term if out is None else out + term
+        return out
 
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
-        """[N_f, 3] → [N_c, 3]: P^T via incidence gather."""
+        """[N_f, 3] → [N_c, 3]: P^T via incidence gather, processed in
+        width-8 chunks (same TPU minor-dim-padding reason as prolong:
+        the full [N_c, Dc, 3] gather can be GBs when a voxel supports
+        hundreds of fine nodes)."""
         contrib = (self.weights[:, :, None]
                    * r_f[:, None, :]).reshape(-1, 3)         # [N_f*8, 3]
         contrib = jnp.concatenate(
             [contrib, jnp.zeros((1, 3), r_f.dtype)], axis=0)
-        return jnp.sum(contrib[self.incidence], axis=1)
+        Dc = self.incidence.shape[1]
+        CH = 8
+        out = None
+        for s in range(0, Dc, CH):
+            term = jnp.sum(contrib[self.incidence[:, s:s + CH]], axis=1)
+            out = term if out is None else out + term
+        return out
 
 
 jax.tree_util.register_pytree_node(
@@ -462,9 +481,10 @@ def build_structured_multigrid(
             dmesh = mesh.device(dtype=dtype)
             lam_e, mu_e = lam, mu
             if esc is not None:
-                # 6 tets per hex, hex-major (models/beams.py _TET_SPLIT)
+                # [nz,ny,nx] grid → x-major hex order (models/beams.py
+                # _hex_conn), 6 tets per hex for tet meshes
                 rep = 6 if element == "tet4" else 1
-                e_t = np.repeat(esc.reshape(-1), rep)
+                e_t = np.repeat(esc.transpose(2, 1, 0).reshape(-1), rep)
                 lam_e, mu_e = lam * e_t, mu * e_t
             op = StiffnessOperator.build(dmesh, lam_e, mu_e,
                                          free_mask=jnp.asarray(mask, dtype),
@@ -498,7 +518,7 @@ def build_structured_multigrid(
         # iteration ARE the coarsest level's)
         lam_c, mu_c = lam, mu
         if esc is not None:
-            e_t = np.repeat(esc.reshape(-1), 6)
+            e_t = np.repeat(esc.transpose(2, 1, 0).reshape(-1), 6)
             lam_c, mu_c = lam * e_t, mu * e_t
         K_c = _host_dense_constrained_matrix(mesh, lam_c, mu_c, mask)
     else:
@@ -637,12 +657,14 @@ def galerkin_voxel_operator(op, transfer: Transfer, mask_c: np.ndarray,
             v = transfer.prolong(e)              # [N_f, 3], already zero
             w = op.matvec(v.reshape(-1))         # at fine fixed dofs
             w2 = transfer.restrict(w.reshape(-1, 3)) * mask_c2
-            return carry, w2
+            # flatten: a stacked [P, N_c, 3] scan output would pad its
+            # minor dim 3 to 128 on TPU (GBs at 1M-tet scale)
+            return carry, w2.reshape(-1)
         _, W = jax.lax.scan(body, jnp.int32(0),
                             jnp.arange(n_probes, dtype=jnp.int32))
         return W
 
-    W = np.asarray(probe_all(), np.float64)      # [P, N_c, 3]
+    W = np.asarray(probe_all(), np.float64).reshape(n_probes, N_c, 3)
 
     # host extraction: for row i and lattice offset o, the probed value at
     # i in the probe colored like j = i + o IS the (i, j) block column

@@ -31,11 +31,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# NOTE: all physics einsums pin precision="highest" — the TPU default
-# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
-# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
-# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
-_einsum = functools.partial(jnp.einsum, precision="highest")
+# NOTE: these einsums deliberately use DEFAULT matmul precision.
+# precision="highest" turns tiny-dim einsums into MXU dot_generals whose
+# operand layouts pad the minor dims 3/4 up to (8,128) tiles — a 42x HBM
+# blowup that OOMed the 1M-tet hierarchy build (docs/PERF_NOTES.md).  The
+# bf16-pass accuracy hazard only matters on CG-path operators; those live
+# in parallel/sweep.py and fem/ell.py, which keep precision="highest".
+_einsum = jnp.einsum
 
 import numpy as np
 
@@ -186,19 +188,46 @@ class StiffnessOperator:
 
     # -- preconditioning ----------------------------------------------------
 
+    #: elements per chunk in the diagonal/block builders: per-element
+    #: [c, q, k, 3(,3)] intermediates pad their minor dims to (8, 128)
+    #: tiles on TPU (~40x), so a full-batch build of a 1M-element mesh
+    #: wants ~20 GB HBM — chunking bounds the transient to ~0.5 GB.
+    _REDUCE_CHUNK = 32768
+
+    def _chunked_node_reduce(self, per_elem_fn, width: int) -> jnp.ndarray:
+        """Accumulate per-node [n_nodes, width] sums of per-element
+        contributions, processed _REDUCE_CHUNK elements at a time."""
+        dm = self.dmesh
+        C = dm.conn.shape[0]
+        N = dm.coords.shape[0]
+        acc = jnp.zeros((N, width), dm.coords.dtype)
+        for c0 in range(0, C, self._REDUCE_CHUNK):
+            conn_c = dm.conn[c0: c0 + self._REDUCE_CHUNK]
+            cc, k = conn_c.shape
+            vals = per_elem_fn(dm.coords[conn_c],
+                               self.lam[c0: c0 + self._REDUCE_CHUNK],
+                               self.mu[c0: c0 + self._REDUCE_CHUNK])
+            acc = acc + jax.ops.segment_sum(
+                vals.reshape(cc * k, width), conn_c.reshape(-1),
+                num_segments=N)
+        return acc
+
     def diagonal_raw(self) -> jnp.ndarray:
         """diag(K) without materializing Ke:
         Ke[(i,a),(i,a)] = sum_q wdet ((lam+mu) g_ia^2 + mu |g_i|^2)."""
         dm = self.dmesh
-        coords_e = dm.coords[dm.conn]
-        g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
-        g2 = g * g
-        norm2 = jnp.sum(g2, axis=-1, keepdims=True)     # [C,q,k,1]
-        d = _einsum("cq,cqka->cka",
-                       wdet * (self.lam + self.mu)[:, None], g2) \
-            + _einsum("cq,cqka->cka", wdet * self.mu[:, None],
-                         jnp.broadcast_to(norm2, g2.shape))
-        return self._scatter_rows(d)
+
+        def per_elem(coords_e, lam, mu):
+            g, wdet = physical_gradients(coords_e, dm.element_type,
+                                         self.order)
+            g2 = g * g
+            norm2 = jnp.sum(g2, axis=-1, keepdims=True)  # [c,q,k,1]
+            return (_einsum("cq,cqka->cka",
+                            wdet * (lam + mu)[:, None], g2)
+                    + _einsum("cq,cqka->cka", wdet * mu[:, None],
+                              jnp.broadcast_to(norm2, g2.shape)))
+
+        return self._chunked_node_reduce(per_elem, DIM).reshape(-1)
 
     def diagonal(self) -> jnp.ndarray:
         """diag of the constrained operator (fixed dofs get 1.0)."""
@@ -211,20 +240,19 @@ class StiffnessOperator:
         Much stronger than plain Jacobi on SIMP-contrast meshes
         (SURVEY.md §7 hard part 3)."""
         dm = self.dmesh
-        coords_e = dm.coords[dm.conn]
-        g, wdet = physical_gradients(coords_e, dm.element_type, self.order)
-        outer = _einsum("cq,cqka,cqkb->ckab",
-                           wdet * self.lam[:, None], g, g) \
-            + _einsum("cq,cqkb,cqka->ckab", wdet * self.mu[:, None], g, g)
-        norm2 = _einsum("cq,cqka,cqka->ck", wdet * self.mu[:, None], g, g)
-        eye = jnp.eye(DIM, dtype=g.dtype)
-        blocks = outer + norm2[..., None, None] * eye
-        # scatter per-node: segment over node ids
-        C, k = dm.conn.shape
-        flat = blocks.reshape(C * k, DIM * DIM)
-        seg = dm.conn.reshape(-1)
-        acc = jax.ops.segment_sum(flat, seg,
-                                  num_segments=dm.coords.shape[0])
+
+        def per_elem(coords_e, lam, mu):
+            g, wdet = physical_gradients(coords_e, dm.element_type,
+                                         self.order)
+            outer = _einsum("cq,cqka,cqkb->ckab",
+                            wdet * lam[:, None], g, g) \
+                + _einsum("cq,cqkb,cqka->ckab", wdet * mu[:, None], g, g)
+            norm2 = _einsum("cq,cqka,cqka->ck", wdet * mu[:, None], g, g)
+            eye = jnp.eye(DIM, dtype=g.dtype)
+            blocks = outer + norm2[..., None, None] * eye
+            return blocks.reshape(*blocks.shape[:2], DIM * DIM)
+
+        acc = self._chunked_node_reduce(per_elem, DIM * DIM)
         return acc.reshape(-1, DIM, DIM)
 
     # -- reductions ---------------------------------------------------------

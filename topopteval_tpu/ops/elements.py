@@ -33,11 +33,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# NOTE: all physics einsums pin precision="highest" — the TPU default
-# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
-# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
-# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
-_einsum = functools.partial(jnp.einsum, precision="highest")
+# NOTE: these einsums deliberately use DEFAULT matmul precision.
+# precision="highest" turns tiny-dim einsums into MXU dot_generals whose
+# operand layouts pad the minor dims 3/4 up to (8,128) tiles — a 42x HBM
+# blowup that OOMed the 1M-tet hierarchy build (docs/PERF_NOTES.md).  The
+# bf16-pass accuracy hazard only matters on CG-path operators; those live
+# in parallel/sweep.py and fem/ell.py, which keep precision="highest".
+_einsum = jnp.einsum
 
 import numpy as np
 
@@ -212,17 +214,37 @@ def physical_gradients(coords_e: jnp.ndarray, element_type: str,
 
 
 def element_stiffness(coords_e: jnp.ndarray, lam, mu, element_type: str,
-                      order: int = 2) -> jnp.ndarray:
+                      order: int = 2,
+                      use_pallas: bool = None) -> jnp.ndarray:
     """Batched Ke [C, 3k, 3k] for isotropic elasticity.
 
     ``lam``/``mu`` are scalars or per-element arrays [C] — the SIMP assembly
     is this same kernel with per-element Lamé values
     (reference: FiniteElementAnalysis.jl:669-703).
+
+    On TPU at fp32/bf16 the fused Pallas Ke kernels are used (tet4 exact
+    at any order via constant strain; hex8/tet10 implement the order-2
+    reference rule); the einsum path remains for CPU/fp64 and the Pallas
+    kernels are tested against it (tests/test_pallas.py).
     """
     C, k, _ = coords_e.shape
-    g, wdet = physical_gradients(coords_e, element_type, order)
     lam = jnp.broadcast_to(jnp.asarray(lam, coords_e.dtype), (C,))
     mu = jnp.broadcast_to(jnp.asarray(mu, coords_e.dtype), (C,))
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and coords_e.dtype in (jnp.float32, jnp.bfloat16)
+                      and (element_type == "tet4"
+                           or (element_type in ("hex8", "tet10")
+                               and order == 2)))
+    if use_pallas:
+        from . import pallas_kernels as pk
+        if element_type == "tet4":
+            return pk.tet4_element_stiffness_pallas(coords_e, lam, mu)
+        if element_type == "hex8":
+            return pk.hex8_element_stiffness_pallas(coords_e, lam, mu)
+        if element_type == "tet10":
+            return pk.tet10_element_stiffness_pallas(coords_e, lam, mu)
+    g, wdet = physical_gradients(coords_e, element_type, order)
 
     wl = wdet * lam[:, None]
     wm = wdet * mu[:, None]

@@ -33,11 +33,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# NOTE: all physics einsums pin precision="highest" — the TPU default
-# allows bf16 passes, which silently corrupts fp32 CG/energies at SIMP
-# contrast (docs/PERF_NOTES.md; reproduced round 2 on the sweep lanes:
-# TPU oracle err 8e-3 vs CPU fp32 6e-5 until pinned).
-_einsum = functools.partial(jnp.einsum, precision="highest")
+# NOTE: these einsums deliberately use DEFAULT matmul precision.
+# precision="highest" turns tiny-dim einsums into MXU dot_generals whose
+# operand layouts pad the minor dims 3/4 up to (8,128) tiles — a 42x HBM
+# blowup that OOMed the 1M-tet hierarchy build (docs/PERF_NOTES.md).  The
+# bf16-pass accuracy hazard only matters on CG-path operators; those live
+# in parallel/sweep.py and fem/ell.py, which keep precision="highest".
+_einsum = jnp.einsum
 
 import numpy as np
 from jax.sharding import Mesh as JaxMesh
