@@ -288,3 +288,17 @@ def test_solve_system_multigrid_hex8_fixture(beam_hex_path):
     direct = solve_system(problem, SolverConfig(method="direct",
                                                 verbose=False))
     assert abs(res.energy - direct.energy) / direct.energy < 1e-7
+
+
+def test_adaptive_selects_multigrid_above_threshold():
+    """solve_system_adaptive must route large solid meshes to the
+    multigrid path (round-1 VERDICT item 2: auto-selection)."""
+    mesh = generate_grid_tet(48, 24, 16, (0, 0, 0), (12.0, 6.0, 4.0))
+    problem = _cantilever_problem(mesh)
+    assert problem.n_dofs >= 50_000
+    res = solve_system_adaptive(problem)
+    assert res.converged
+    assert getattr(problem, "_mg_cache", None) is not None
+    from topopteval_tpu.fem.structured import StructuredStiffnessOperator
+    _, op, _ = problem._mg_cache
+    assert isinstance(op, StructuredStiffnessOperator)

@@ -32,6 +32,22 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _start_heartbeat(period_s: int = 60):
+    """Periodic stderr line so the run_tpu.sh stall detector does not kill
+    the long silent remote-compile phases (minutes with no output)."""
+    import threading
+    import time as _t
+
+    t0 = _t.time()
+
+    def beat():
+        while True:
+            _t.sleep(period_s)
+            log(f"[heartbeat] {int(_t.time() - t0)}s elapsed")
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -48,6 +64,7 @@ def main():
     from topopteval_tpu.utils import set_verbosity
 
     set_verbosity(False)
+    _start_heartbeat()
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     nx, ny, nz = 25 * scale // 2, 4 * scale, scale
     lam, mu = lame_parameters(1.0, 0.3)

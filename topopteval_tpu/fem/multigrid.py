@@ -135,22 +135,36 @@ def build_transfer_tables(nx_f: int, ny_f: int, nz_f: int):
 
 @dataclasses.dataclass(frozen=True)
 class Transfer:
-    """Prolongation (coarse→fine) / restriction (fine→coarse) pair."""
+    """Prolongation (coarse→fine) / restriction (fine→coarse) pair.
+
+    ``chunked`` selects between two ALGEBRAICALLY IDENTICAL lowerings and
+    is pinned per hierarchy, because the axon TPU backend miscompiles
+    some while_loop bodies and the safe HLO differs per program
+    (docs/PERF_NOTES.md):
+
+    - False (structured stencil hierarchy): the round-1 vectorized form —
+      one [N_f, 8, 3] gather / one [N_c, Dc, 3] gather.  Proven by the
+      structured bench's energy gate; the chunked form silently corrupted
+      it (energy off 10% while backward-stable, the known signature).
+    - True (voxel Galerkin hierarchy): slot-wise prolong + width-chunked
+      restrict.  Required at 1M-tet scale — the vectorized gathers pad
+      minor dim 3 → 128 (42x; the restrict alone wants ~9 GB) — and
+      integrity-gate-validated in tools/bench_unstructured.py."""
 
     parents: jnp.ndarray    # [N_f, 8] int32
     weights: jnp.ndarray    # [N_f, 8]
     incidence: jnp.ndarray  # [N_c, Dc] int32 into [N_f*8] flat (+ sentinel)
+    chunked: bool = dataclasses.field(default=False,
+                                      metadata={"static": True})
 
     def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
         """[N_c, 3] → [N_f, 3]: row gathers + weighted sum.  Sentinel
-        parent ids index an appended zero row.
-
-        Applied slot-by-slot: a single [N_f, 8, 3] gather pads its minor
-        dim 3 → 128 on TPU (42x memory expansion — OOMed the 1M-tet
-        voxel hierarchy); eight sequential [N_f, 3] row gathers keep the
-        transient at one fine vector."""
+        parent ids index an appended zero row."""
         u_pad = jnp.concatenate(
             [u_c, jnp.zeros((1, 3), u_c.dtype)], axis=0)
+        if not self.chunked:
+            rows = u_pad[self.parents]                       # [N_f, 8, 3]
+            return jnp.sum(rows * self.weights[:, :, None], axis=1)
         out = None
         for s in range(self.parents.shape[1]):
             term = u_pad[self.parents[:, s]] * self.weights[:, s][:, None]
@@ -158,16 +172,16 @@ class Transfer:
         return out
 
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
-        """[N_f, 3] → [N_c, 3]: P^T via incidence gather, processed in
-        width-8 chunks (same TPU minor-dim-padding reason as prolong:
-        the full [N_c, Dc, 3] gather can be GBs when a voxel supports
-        hundreds of fine nodes)."""
+        """[N_f, 3] → [N_c, 3]: P^T via incidence gather."""
         contrib = (self.weights[:, :, None]
                    * r_f[:, None, :]).reshape(-1, 3)         # [N_f*8, 3]
         contrib = jnp.concatenate(
             [contrib, jnp.zeros((1, 3), r_f.dtype)], axis=0)
+        if not self.chunked:
+            return jnp.sum(contrib[self.incidence], axis=1)
         Dc = self.incidence.shape[1]
-        CH = 8
+        N_c = self.incidence.shape[0]
+        CH = 8 if N_c > 60_000 else 32
         out = None
         for s in range(0, Dc, CH):
             term = jnp.sum(contrib[self.incidence[:, s:s + CH]], axis=1)
@@ -175,10 +189,16 @@ class Transfer:
         return out
 
 
-jax.tree_util.register_pytree_node(
-    Transfer,
-    lambda t: ((t.parents, t.weights, t.incidence), None),
-    lambda aux, leaves: Transfer(*leaves))
+def _transfer_flatten(t: Transfer):
+    return ((t.parents, t.weights, t.incidence), (t.chunked,))
+
+
+def _transfer_unflatten(aux, leaves):
+    return Transfer(*leaves, aux[0])
+
+
+jax.tree_util.register_pytree_node(Transfer, _transfer_flatten,
+                                   _transfer_unflatten)
 
 
 # ---------------------------------------------------------------------------
@@ -738,32 +758,167 @@ def _rap_host(ell, parents: np.ndarray, weights: np.ndarray,
             mask_new)
 
 
+class _HostFineOperator:
+    """fp64 NumPy twin of the fine-level masked operator + its node
+    blocks, for the MG BUILD only: on the axon backend the device
+    versions cost minutes of remote compiles (chunked eager node-block
+    reduction ~345 s, eager power iteration ~94 s at 1.2M tets), while
+    the host computes both in well under a minute."""
+
+    def __init__(self, mesh: Mesh, lam_e, mu_e, mask, order: int):
+        from ..ops.elements import element_tables
+
+        _, dN, w = element_tables(mesh.element_type, order)
+        X = mesh.coords[mesh.conn]                      # [C,k,3]
+        J = np.einsum("cka,qkb->cqab", X, dN, optimize=True)
+        detJ = np.linalg.det(J)
+        invJ = np.linalg.inv(
+            np.where((detJ == 0)[..., None, None], np.eye(3), J))
+        self.g = np.einsum("qkb,cqba->cqka", dN, invJ,
+                           optimize=True)     # [C,q,k,3]
+        self.wdet = w[None, :] * detJ                   # [C,q]
+        self.conn = mesh.conn.astype(np.int64)
+        self.n_nodes = mesh.n_nodes
+        self.lam_e = np.asarray(lam_e, np.float64)
+        self.mu_e = np.asarray(mu_e, np.float64)
+        self.mask = np.asarray(mask, np.float64).reshape(-1)
+
+    def node_blocks(self) -> np.ndarray:
+        wl = self.wdet * self.lam_e[:, None]
+        wm = self.wdet * self.mu_e[:, None]
+        outer = (np.einsum("cq,cqka,cqkb->ckab", wl, self.g, self.g,
+                           optimize=True)
+                 + np.einsum("cq,cqkb,cqka->ckab", wm, self.g, self.g,
+                             optimize=True))
+        norm2 = np.einsum("cq,cqka,cqka->ck", wm, self.g, self.g,
+                          optimize=True)
+        blocks_ck = outer + norm2[..., None, None] * np.eye(3)
+        flat = self.conn.reshape(-1)
+        out = np.zeros((self.n_nodes, 3, 3))
+        for a in range(3):
+            for b in range(3):
+                out[:, a, b] = np.bincount(
+                    flat, weights=blocks_ck[:, :, a, b].reshape(-1),
+                    minlength=self.n_nodes)
+        return out
+
+    def _ke32(self) -> np.ndarray:
+        """Stored fp32 Ke batch [C, 3k, 3k] (chunked build) — turns the
+        power-iteration matvec into one batched matmul (~1 s at 1.2M
+        tets vs ~20 s for the strain-route einsum chain)."""
+        if getattr(self, "_ke_cache", None) is not None:
+            return self._ke_cache
+        C, q, k, _ = self.g.shape
+        ek = 3 * k
+        ke = np.empty((C, ek, ek), np.float32)
+        eye = np.eye(3)
+        CH = 131072
+        for c0 in range(0, C, CH):
+            gs = self.g[c0:c0 + CH]
+            wl = (self.wdet * self.lam_e[:, None])[c0:c0 + CH]
+            wm = (self.wdet * self.mu_e[:, None])[c0:c0 + CH]
+            K1 = np.einsum("cq,cqia,cqjb->ciajb", wl, gs, gs,
+                           optimize=True)
+            K2 = np.einsum("cq,cqib,cqja->ciajb", wm, gs, gs,
+                           optimize=True)
+            dots = np.einsum("cq,cqid,cqjd->cij", wm, gs, gs,
+                             optimize=True)
+            K3 = dots[:, :, None, :, None] * eye[None, None, :, None, :]
+            ke[c0:c0 + CH] = (K1 + K2 + K3).reshape(-1, ek, ek)
+        self._ke_cache = ke
+        return ke
+
+    def matvec(self, u: np.ndarray) -> np.ndarray:
+        m = self.mask
+        um = (m * u).reshape(self.n_nodes, 3)
+        k = self.conn.shape[1]
+        u_e = um[self.conn].reshape(-1, 3 * k, 1).astype(np.float32)
+        f_e = (self._ke32() @ u_e)[:, :, 0].astype(np.float64)
+        flat = self.conn.reshape(-1)
+        f = np.zeros((self.n_nodes, 3))
+        fe3 = f_e.reshape(-1, k, 3)
+        for a in range(3):
+            f[:, a] = np.bincount(flat, weights=fe3[:, :, a].reshape(-1),
+                                  minlength=self.n_nodes)
+        f = f.reshape(-1)
+        return m * f + (1.0 - m) * u
+
+    def power_lambda_max(self, binv: np.ndarray, iters: int = 12,
+                         seed: int = 0) -> float:
+        """Upper estimate of lambda_max(B^-1 A), inflated 10% to cover
+        power-iteration under-convergence (Chebyshev needs an UPPER
+        bound; its polynomial amplifies above the band)."""
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(3 * self.n_nodes) * self.mask
+        v /= np.linalg.norm(v)
+        lam = 0.0
+        for _ in range(iters):
+            w = np.einsum("nab,nb->na", binv,
+                          self.matvec(v).reshape(-1, 3)).reshape(-1)
+            lam = float(np.linalg.norm(w))
+            v = w / max(lam, 1e-300)
+        return 1.1 * lam
+
+
 def estimate_smoother_lambda_max(op, binv, iters: int = 30,
                                  seed: int = 0) -> float:
-    """lambda_max(B^-1 A) by power iteration (one jitted program).  The
-    damped block-Jacobi smoother needs omega * lambda_max < 2 to contract
-    (docs/PERF_NOTES.md: omega=0.9 already diverges at 1.25:1 cell
-    anisotropy); unstructured meshes can push lambda_max past the
-    structured-grid value, so it is measured, not assumed."""
+    """lambda_max(B^-1 A) by power iteration (EAGER on purpose: the eager
+    matvec fusions are compiled once and reused, while a jitted
+    power-iteration program would be a fresh multi-minute remote compile
+    on the axon backend).  The damped block-Jacobi smoother needs
+    omega * lambda_max < 2 to contract (docs/PERF_NOTES.md); unstructured
+    meshes push lambda_max to ~3-4, so it is measured, not assumed."""
     n = op.n_dofs
     dtype = op.free_mask.dtype
-    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype)
-    v0 = v0 * op.free_mask
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype)
+    v = v * op.free_mask
+    v = v / jnp.linalg.norm(v)
+    lam = 0.0
+    for _ in range(iters):
+        w = _einsum("nab,nb->na", binv,
+                    op.matvec(v).reshape(-1, 3)).reshape(-1)
+        lam = float(jnp.linalg.norm(w))
+        v = w / max(lam, 1e-300)
+    return lam
 
-    @jax.jit
-    def run(v):
-        def step(_, carry):
-            v, _ = carry
-            w = _einsum("nab,nb->na", binv,
-                           op.matvec(v).reshape(-1, 3)).reshape(-1)
-            lam = jnp.linalg.norm(w)
-            return w / jnp.where(lam == 0, 1.0, lam), lam
-        return jax.lax.fori_loop(
-            0, iters, step, (v / jnp.linalg.norm(v), jnp.asarray(0.0,
-                                                                 dtype)))
 
-    _, lam = run(v0)
-    return float(lam)
+def _host_binv_and_lambda_max(ell, mask: np.ndarray, need_lam: bool,
+                              iters: int = 30, seed: int = 0):
+    """Host fp64 twin of (block_jacobi_preconditioner, power iteration)
+    for an ELL Galerkin level — removes two device programs per level
+    from the build's remote-compile bill."""
+    import scipy.sparse as sp
+
+    A = ell.to_scipy_bsr()
+    N = ell.n_nodes
+    m = np.asarray(mask, np.float64).reshape(-1)
+    m3 = m.reshape(N, 3)
+    # diagonal 3x3 blocks from CSR
+    Ab = A.tobsr(blocksize=(3, 3))
+    Ab.sort_indices()
+    diag = np.zeros((N, 3, 3))
+    counts = Ab.indptr[1:] - Ab.indptr[:-1]
+    rows = np.repeat(np.arange(N), counts)
+    sel = Ab.indices == rows
+    diag[rows[sel]] = Ab.data[sel]
+    eye = np.eye(3)
+    bm = diag * (m3[:, :, None] * m3[:, None, :]) \
+        + (1.0 - m3)[:, :, None] * eye
+    det = np.linalg.det(bm)
+    bm[det == 0] = eye
+    binv = np.linalg.inv(bm)
+    lam = None
+    if need_lam:
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(3 * N) * m
+        v /= np.linalg.norm(v)
+        for _ in range(iters):
+            Av = m * (A @ (m * v)) + (1.0 - m) * v
+            w = np.einsum("nab,nb->na", binv,
+                          Av.reshape(N, 3)).reshape(-1)
+            lam = float(np.linalg.norm(w))
+            v = w / max(lam, 1e-300)
+    return binv, lam
 
 
 def build_unstructured_multigrid(
@@ -794,7 +949,17 @@ def build_unstructured_multigrid(
     Match: reference FiniteElementAnalysis.jl:547 (any-mesh solve) with
     mesh-independent iteration counts instead of Jacobi-PCG scaling.
     """
+    import time as _time
+
     from ..utils.terminal import log
+
+    t_start = _time.perf_counter()
+
+    def tick(label, t0):
+        if verbose:
+            log(f"unstructured MG [{label}]: "
+                f"{_time.perf_counter() - t0:.1f}s")
+        return _time.perf_counter()
 
     C = mesh.n_cells
     lam_e = np.broadcast_to(np.asarray(lam, np.float64), (C,))
@@ -804,13 +969,18 @@ def build_unstructured_multigrid(
     free_np = np.asarray(free_mask, np.float64).reshape(-1)
 
     # --- fine level ---------------------------------------------------------
+    t0 = _time.perf_counter()
     dmesh = mesh.device(dtype=dtype)
     op = StiffnessOperator.build(dmesh, lam_e, mu_e,
                                  free_mask=jnp.asarray(free_np, dtype),
                                  mode="otf", order=order,
                                  use_pallas=use_pallas)
-    binv_fine = block_jacobi_preconditioner(op.node_blocks_raw(),
-                                            op.free_mask)
+    # host fp64 build of the smoother blocks + lambda_max: the device
+    # versions cost minutes of axon remote compiles (see _HostFineOperator)
+    host_fine = _HostFineOperator(mesh, lam_e, mu_e, free_np, order)
+    binv_np = _host_block_jacobi(host_fine.node_blocks(), free_np)
+    binv_fine = jnp.asarray(binv_np, dtype)
+    t0 = tick("fine op + block-Jacobi (host)", t0)
 
     # --- voxel lattice dims -------------------------------------------------
     lo, hi = mesh.bounding_box()
@@ -852,15 +1022,18 @@ def build_unstructured_multigrid(
     parents, weights, inc = build_voxel_transfer(mesh.coords, lo, hi,
                                                  (vx, vy, vz))
     transfer0 = Transfer(jnp.asarray(parents),
-                         jnp.asarray(weights, dtype), jnp.asarray(inc))
+                         jnp.asarray(weights, dtype), jnp.asarray(inc),
+                         chunked=True)
     n_vox_nodes = (vx + 1) * (vy + 1) * (vz + 1)
     fixed_c = propagate_fixed(parents, weights,
                               free_np.reshape(-1, 3) == 0, n_vox_nodes)
     mask_c = np.where(fixed_c, 0.0, 1.0).reshape(-1)
 
-    lam_max_fine = (estimate_smoother_lambda_max(op, binv_fine)
+    lam_max_fine = (host_fine.power_lambda_max(binv_np)
                     if smoother == "chebyshev" or omega is None else None)
+    del host_fine, binv_np
     levels = [MGLevel(op, binv_fine, transfer0, lam_max=lam_max_fine)]
+    t0 = tick("transfer + fine lambda_max (host)", t0)
 
     # coupling reach on the lattice: an element spanning k voxels along an
     # axis links corners k+1 apart; reach 2 covers elements up to one
@@ -877,20 +1050,22 @@ def build_unstructured_multigrid(
     ell, mask_c = galerkin_voxel_operator(op, transfer0, mask_c,
                                           (vx, vy, vz), reach=reach,
                                           dtype=dtype)
+    t0 = tick("Galerkin probing (level 1)", t0)
 
     # --- Galerkin (RAP) coarser levels ---------------------------------------
     cur_dims = (vx, vy, vz)
     for li in range(L):
-        binv = block_jacobi_preconditioner(ell.node_blocks_raw(),
-                                           ell.free_mask)
-        lam_max_l = (estimate_smoother_lambda_max(ell, binv)
-                     if smoother == "chebyshev" else None)
+        # host build: avoids two fresh device programs per level (remote
+        # compiles dominate the on-chip build time otherwise)
+        binv_np, lam_max_l = _host_binv_and_lambda_max(
+            ell, mask_c, need_lam=(smoother == "chebyshev"))
+        binv = jnp.asarray(binv_np, dtype)
         transfer = None
         if li + 1 < L:
             cnx, cny, cnz = cur_dims
             p2, w2, i2 = build_transfer_tables(cnx, cny, cnz)
             transfer = Transfer(jnp.asarray(p2), jnp.asarray(w2, dtype),
-                                jnp.asarray(i2))
+                                jnp.asarray(i2), chunked=True)
             n_coarse = (cnx // 2 + 1) * (cny // 2 + 1) * (cnz // 2 + 1)
             fixed_next = propagate_fixed(p2, w2,
                                          mask_c.reshape(-1, 3) == 0,
@@ -902,6 +1077,7 @@ def build_unstructured_multigrid(
             cur_dims = (cnx // 2, cny // 2, cnz // 2)
         else:
             levels.append(MGLevel(ell, binv, None, lam_max=lam_max_l))
+    t0 = tick("coarse levels (host RAP + binv + lambda_max)", t0)
 
     # --- coarsest level: eigendecomposition pseudo-inverse -------------------
     # On porous/optimized geometry a voxel can contain fewer fine nodes
@@ -920,13 +1096,16 @@ def build_unstructured_multigrid(
     m_c = np.asarray(mask_c, np.float64).reshape(-1)
     coarse_inv = jnp.asarray(m_c[:, None] * inv_np * m_c[None, :], dtype)
 
+    t0 = tick("coarsest pseudo-inverse", t0)
+
     # --- smoother damping ----------------------------------------------------
     if omega is None:
         omega = float(min(0.7, 1.4 / max(lam_max_fine, 1e-6)))
     if verbose:
         log(f"unstructured MG: lambda_max(B^-1 A) ~ "
             f"{lam_max_fine if lam_max_fine else 0:.2f}, omega = "
-            f"{omega:.3f}, smoother = {smoother}")
+            f"{omega:.3f}, smoother = {smoother}, total build "
+            f"{_time.perf_counter() - t_start:.1f}s")
 
     mg = MultigridPreconditioner(tuple(levels[:-1]), coarse_inv,
                                  omega=omega, nu=nu, smoother=smoother)
