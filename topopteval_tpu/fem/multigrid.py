@@ -663,8 +663,12 @@ def galerkin_voxel_operator(op, transfer: Transfer, mask_c: np.ndarray,
     mask_c2 = jnp.asarray(mask_c, dtype).reshape(N_c, 3)
     eye3 = jnp.eye(3, dtype=dtype)
 
+    # op/transfer must arrive as jit ARGUMENTS: closing over them would
+    # bake their (potentially tens-of-MB) leaves into the program as
+    # constants — the axon remote-compile endpoint rejects oversized
+    # programs with HTTP 413 (docs/PERF_NOTES.md)
     @jax.jit
-    def probe_all():
+    def probe_all(op_, transfer_, mask_c2_):
         def body(carry, pidx):
             b = pidx % 3
             rest = pidx // 3
@@ -673,10 +677,10 @@ def galerkin_voxel_operator(op, transfer: Transfer, mask_c: np.ndarray,
             cy = rest % py
             cz = rest // py
             ind = ((ix_d == cx) & (iy_d == cy) & (iz_d == cz)).astype(dtype)
-            e = ind[:, None] * eye3[b][None, :] * mask_c2
-            v = transfer.prolong(e)              # [N_f, 3], already zero
-            w = op.matvec(v.reshape(-1))         # at fine fixed dofs
-            w2 = transfer.restrict(w.reshape(-1, 3)) * mask_c2
+            e = ind[:, None] * eye3[b][None, :] * mask_c2_
+            v = transfer_.prolong(e)             # [N_f, 3], already zero
+            w = op_.matvec(v.reshape(-1))        # at fine fixed dofs
+            w2 = transfer_.restrict(w.reshape(-1, 3)) * mask_c2_
             # flatten: a stacked [P, N_c, 3] scan output would pad its
             # minor dim 3 to 128 on TPU (GBs at 1M-tet scale)
             return carry, w2.reshape(-1)
@@ -684,7 +688,8 @@ def galerkin_voxel_operator(op, transfer: Transfer, mask_c: np.ndarray,
                             jnp.arange(n_probes, dtype=jnp.int32))
         return W
 
-    W = np.asarray(probe_all(), np.float64).reshape(n_probes, N_c, 3)
+    W = np.asarray(probe_all(op, transfer, mask_c2),
+                   np.float64).reshape(n_probes, N_c, 3)
 
     # host extraction: for row i and lattice offset o, the probed value at
     # i in the probe colored like j = i + o IS the (i, j) block column

@@ -161,7 +161,9 @@ class StiffnessOperator:
             from ..ops.pallas_kernels import tet4_apply_pallas
             coords_e = dm.coords[dm.conn]
             # the 1-point rule the kernel uses is exact for tet4 at any
-            # requested quadrature order (constant strain)
+            # requested quadrature order (constant strain); measured: the
+            # coords gather here fuses into the kernel input transpose
+            # (caching a pre-packed copy changed nothing at 1.2M tets)
             f_e = tet4_apply_pallas(coords_e, u_e, self.lam, self.mu)
         elif self.use_pallas and dm.element_type == "hex8":
             from ..ops.pallas_kernels import hex8_apply_pallas

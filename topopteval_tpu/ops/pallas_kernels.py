@@ -156,20 +156,11 @@ def _tet4_apply_kernel(coords_ref, u_ref, lam_ref, mu_ref, out_ref):
                 + sig[a][2] * g[k][2])
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def tet4_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
-                      lam: jnp.ndarray, mu: jnp.ndarray,
-                      block: int = DEF_BLOCK,
-                      interpret: bool = False) -> jnp.ndarray:
-    """Fused f_e = Ke(coords, lam, mu) @ u_e for Tet4 batches."""
-    C = coords_e.shape[0]
-    Cp = _cdiv(C, block) * block
-
-    def t(a):
-        return jnp.pad(jnp.swapaxes(a.reshape(C, -1), 0, 1),
-                       ((0, 0), (0, Cp - C)))
-
-    out = pl.pallas_call(
+def _tet4_apply_call(ct, ut, lam2, mu2, block, interpret):
+    """Kernel-native call: all operands already in the [rows, Cp] lanes
+    layout.  Returns [12, Cp]."""
+    Cp = ct.shape[1]
+    return pl.pallas_call(
         _tet4_apply_kernel,
         grid=(Cp // block,),
         in_specs=[
@@ -184,11 +175,36 @@ def tet4_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((12, block), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((12, Cp), coords_e.dtype),
+        out_shape=jax.ShapeDtypeStruct((12, Cp), ct.dtype),
         interpret=interpret,
-    )(t(coords_e), t(u_e),
-      jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
-      jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))))
+    )(ct, ut, lam2, mu2)
+
+
+def pack_lanes(a: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[C, ...] → kernel lanes layout [prod(...), Cp] (block-padded).
+    (Measured note: pre-packing per-matvec invariants this way gains
+    nothing over packing inline — XLA fuses the gather+transpose into the
+    kernel input production; the fine-matvec cost is the u-gather and the
+    incidence scatter, docs/PERF_NOTES.md.)"""
+    C = a.shape[0]
+    Cp = _cdiv(C, block) * block
+    return jnp.pad(jnp.swapaxes(a.reshape(C, -1), 0, 1),
+                   ((0, 0), (0, Cp - C)))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def tet4_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
+                      lam: jnp.ndarray, mu: jnp.ndarray,
+                      block: int = DEF_BLOCK,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused f_e = Ke(coords, lam, mu) @ u_e for Tet4 batches."""
+    C = coords_e.shape[0]
+    Cp = _cdiv(C, block) * block
+    out = _tet4_apply_call(
+        pack_lanes(coords_e, block), pack_lanes(u_e, block),
+        jnp.pad(lam.reshape(1, C), ((0, 0), (0, Cp - C))),
+        jnp.pad(mu.reshape(1, C), ((0, 0), (0, Cp - C))),
+        block, interpret)
     return jnp.swapaxes(out[:, :C], 0, 1).reshape(C, 4, 3)
 
 
