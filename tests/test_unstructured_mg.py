@@ -302,3 +302,62 @@ def test_adaptive_selects_multigrid_above_threshold():
     from topopteval_tpu.fem.structured import StructuredStiffnessOperator
     _, op, _ = problem._mg_cache
     assert isinstance(op, StructuredStiffnessOperator)
+
+
+def test_transfer_chunked_lowerings_agree():
+    """The two Transfer lowerings (vectorized / chunked) are pinned per
+    hierarchy for backend-miscompile reasons; they must be algebraically
+    identical."""
+    from topopteval_tpu.fem.multigrid import build_transfer_tables
+
+    p, w, inc = build_transfer_tables(6, 4, 2)
+    a = Transfer(jnp.asarray(p), jnp.asarray(w, jnp.float64),
+                 jnp.asarray(inc), chunked=False)
+    b = Transfer(jnp.asarray(p), jnp.asarray(w, jnp.float64),
+                 jnp.asarray(inc), chunked=True)
+    rng = np.random.default_rng(0)
+    N_f = (7 * 5 * 3)
+    N_c = (4 * 3 * 2)
+    uc = jnp.asarray(rng.standard_normal((N_c, 3)))
+    rf = jnp.asarray(rng.standard_normal((N_f, 3)))
+    np.testing.assert_allclose(np.asarray(a.prolong(uc)),
+                               np.asarray(b.prolong(uc)), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(a.restrict(rf)),
+                               np.asarray(b.restrict(rf)), rtol=1e-13)
+    # adjointness: <P uc, rf> == <uc, P^T rf>
+    lhs = float(jnp.vdot(a.prolong(uc), rf))
+    rhs = float(jnp.vdot(uc, a.restrict(rf)))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-12
+
+
+def test_host_fine_operator_matches_device():
+    """The host fp64 twin used by the MG build (matvec, node blocks) must
+    match the device operator exactly."""
+    from topopteval_tpu.fem.multigrid import (_HostFineOperator,
+                                              _host_block_jacobi)
+    from topopteval_tpu.fem.solvers import block_jacobi_preconditioner
+
+    mesh = generate_grid_tet(5, 3, 2, (0, 0, 0), (2.5, 1.5, 1.0))
+    fixed = nodes_at_plane(mesh, 0, 0.0)
+    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+    C = mesh.n_cells
+    rng = np.random.default_rng(1)
+    lam_e = rng.uniform(0.2, 1.0, C)
+    mu_e = rng.uniform(0.2, 1.0, C)
+    dm = mesh.device(dtype=jnp.float64)
+    op = StiffnessOperator.build(dm, lam_e, mu_e,
+                                 free_mask=jnp.asarray(mask, jnp.float64))
+    host = _HostFineOperator(mesh, lam_e, mu_e, mask, 2)
+    u = rng.standard_normal(mesh.n_dofs)
+    np.testing.assert_allclose(host.matvec(u),
+                               np.asarray(op.matvec(jnp.asarray(u))),
+                               rtol=1e-4, atol=1e-7)  # host Ke is fp32
+    # (fp32-level agreement is by design: the host matvec only feeds the
+    # smoother eigenvalue estimate)
+    np.testing.assert_allclose(host.node_blocks(),
+                               np.asarray(op.node_blocks_raw()),
+                               rtol=1e-12, atol=1e-12)
+    binv_h = _host_block_jacobi(host.node_blocks(), mask)
+    binv_d = np.asarray(block_jacobi_preconditioner(op.node_blocks_raw(),
+                                                    op.free_mask))
+    np.testing.assert_allclose(binv_h, binv_d, rtol=1e-10, atol=1e-12)
