@@ -361,3 +361,17 @@ def test_host_fine_operator_matches_device():
     binv_d = np.asarray(block_jacobi_preconditioner(op.node_blocks_raw(),
                                                     op.free_mask))
     np.testing.assert_allclose(binv_h, binv_d, rtol=1e-10, atol=1e-12)
+
+
+def test_chunked_cg_history_concatenates():
+    mesh = generate_grid_tet(6, 3, 3, (0, 0, 0), (6.0, 3.0, 3.0))
+    problem = _cantilever_problem(mesh)
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="block_diagonal", tolerance=1e-10,
+        max_iterations=2000, chunk_iterations=25, history=True,
+        verbose=False))
+    assert res.converged
+    assert res.history is not None
+    assert len(res.history) == res.iterations + 1
+    # monotone-ish: final residual below the initial one
+    assert res.history[-1] < res.history[0]

@@ -36,7 +36,8 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from .config import (ADAPTIVE_DOF_THRESHOLD, SolverConfig, adaptive_config)
+from .config import (ADAPTIVE_DOF_THRESHOLD, DIRECT_LAST_RESORT_DOFS,
+                     SolverConfig, adaptive_config)
 from .fem.bc import DirichletBC, free_mask_from_bcs
 from .fem.operator import StiffnessOperator, assemble_scipy
 from .fem.solvers import (block_jacobi_preconditioner, cg, direct_solve,
@@ -343,6 +344,31 @@ def _get_multigrid(problem: Problem):
     return op, mg
 
 
+def _backward_error(op, f_dev, u):
+    """Normwise backward error eta = ||f-Au|| / (||A||·||u|| + ||f||)
+    with a fresh matvec and an 8-step power estimate of ||A||_2 (the
+    integrity measure bench.py gates on; docs/PERF_NOTES.md).
+
+    Returns (eta, fnorm_fraction) where fnorm_fraction =
+    ||f|| / (||A||·||u|| + ||f||) — needed to fold the requested Krylov
+    tolerance into the acceptance threshold."""
+    import jax.numpy as _jnp
+
+    true_r = float(_jnp.linalg.norm(f_dev - op.matvec(u)))
+    unorm = float(_jnp.linalg.norm(u))
+    fnorm = float(_jnp.linalg.norm(f_dev))
+    if unorm == 0:
+        return (0.0 if true_r == 0 else 1.0), 1.0
+    v = u / unorm
+    lam_max = 1.0
+    for _ in range(8):
+        w = op.matvec(v)
+        lam_max = float(_jnp.linalg.norm(w))
+        v = w / max(lam_max, 1e-300)
+    denom = lam_max * unorm + fnorm
+    return true_r / denom, fnorm / denom
+
+
 def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
                 record_history=False):
     """PCG split into fixed-size program chunks with warm restarts — the
@@ -467,6 +493,32 @@ def solve_system(problem: Problem,
     u.block_until_ready()
     solve_time = time.perf_counter() - t0
     timer.records["solve"] = PhaseRecord("solve", solve_time)
+
+    if conv and method == "cg":
+        # backward-error verification with FRESH matvecs (outside the
+        # timed solve): some axon while_loop program variants silently
+        # return wrong solutions whose recurrence residual looks
+        # converged (docs/PERF_NOTES.md; observed for BOTH the default
+        # block-diagonal CG and multigrid programs at certain mesh
+        # sizes); the normwise backward error
+        # eta = ||f-Ax|| / (||A||·||x|| + ||f||) catches them while
+        # tolerating the legitimate fp32 attainable-accuracy floor and
+        # the requested Krylov tolerance
+        eta, ffrac = _backward_error(op, f_dev, u)
+        eps_dt = float(jnp.finfo(problem.dtype).eps)
+        eta_max = 100.0 * eps_dt + 100.0 * config.tolerance * ffrac
+        if eta > eta_max:
+            print_warning(
+                f"solution FAILED backward-error verification "
+                f"(eta={eta:.2e} > {eta_max:.1e}) — possible backend "
+                "miscompile of this program shape")
+            if n < DIRECT_LAST_RESORT_DOFS:
+                print_warning("falling back to host direct solve")
+                u = _host_direct()
+                niter, rnorm, conv = 1, 0.0, True
+                method = "direct(verification-fallback)"
+            else:
+                conv = False
 
     with timer.phase("postprocess"):
         energy = float(op.energy(u))

@@ -1094,7 +1094,13 @@ def build_unstructured_multigrid(
     K_c = ell.to_dense_constrained()
     K_c = 0.5 * (K_c + K_c.T)
     evals, evecs = np.linalg.eigh(K_c)
-    cut = max(float(evals.max()), 1e-300) * 1e-10
+    # dtype-aware cutoff: in fp32 compute, modes with relative eigenvalue
+    # below ~eps_fp32 produce pseudo-inverse entries so large that their
+    # corrections are pure rounding noise — the outer CG then STALLS on
+    # porous geometry (observed on the bundled fixture).  Discarding them
+    # keeps the correction inside the numerically resolved subspace.
+    rel_cut = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-10
+    cut = max(float(evals.max()), 1e-300) * rel_cut
     inv_e = np.where(evals > cut, 1.0 / np.where(evals > cut, evals, 1.0),
                      0.0)
     inv_np = (evecs * inv_e) @ evecs.T
