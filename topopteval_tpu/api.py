@@ -295,13 +295,62 @@ def _material_fingerprint(problem: Problem) -> tuple:
             str(problem.dtype))
 
 
+def _bell_cache_path(problem: Problem, mask) -> Optional[str]:
+    """On-disk hierarchy cache location (None = caching disabled).
+
+    The reference's one-time setup cost is a CHOLMOD factorization the
+    user sees every run (FiniteElementAnalysis.jl:547); here the BELL
+    hierarchy serializes to .npz so repeat evaluations of the same
+    problem pay only a load."""
+    root = os.environ.get("TOPOPT_MG_CACHE_DIR",
+                          os.path.join(os.getcwd(), ".topopt_mg_cache"))
+    if root.lower() in ("0", "off", "none", ""):
+        return None
+    from .fem.bell import hierarchy_cache_key
+    key = hierarchy_cache_key(problem.mesh, problem.lam, problem.mu, mask,
+                              problem.dtype, problem.quad_order)
+    return os.path.join(root, f"bell_{key}.npz")
+
+
+def _get_bell_multigrid(problem: Problem, mask):
+    """Explicit BELL hierarchy for the general/imported-mesh path, with
+    .npz persistence keyed by mesh+material+BC hash."""
+    from .fem.bell import (build_bell_multigrid, load_hierarchy,
+                           save_hierarchy)
+    t0 = time.perf_counter()
+    path = _bell_cache_path(problem, mask)
+    if path is not None and os.path.exists(path):
+        try:
+            system, mg, info = load_hierarchy(path, problem.dtype)
+            info["load_seconds"] = round(time.perf_counter() - t0, 3)
+            log(f"multigrid hierarchy loaded from cache "
+                f"({info['load_seconds']}s): {path}")
+            return system, mg, info
+        except Exception as e:                      # stale/corrupt cache
+            print_warning(f"hierarchy cache load failed ({e}); rebuilding")
+    system, mg, info = build_bell_multigrid(
+        problem.mesh, problem.lam, problem.mu, free_mask=mask,
+        dtype=problem.dtype, order=problem.quad_order)
+    info["cached"] = False
+    if path is not None:
+        try:
+            save_hierarchy(path, system, mg, info)
+            log(f"multigrid hierarchy cached to {path}")
+        except Exception as e:
+            print_warning(f"hierarchy cache save failed: {e}")
+    return system, mg, info
+
+
 def _get_multigrid(problem: Problem):
     """(op, mg) for preconditioner='multigrid', cached per material+BCs.
 
     Generated structured tet4 boxes (mesh.structured_info) ride the
     gather-free stencil hierarchy (fem/structured.py — ~16x faster per
     V-cycle); anything else (imported meshes, hex8, tet10) gets the
-    voxel-embedded Galerkin hierarchy (fem/multigrid.py).
+    explicit block-ELL hierarchy (fem/bell.py — Pallas lane-gather
+    matvecs, host-assembled Galerkin RAP, disk-cacheable).  Set
+    TOPOPT_MG=galerkin to force the round-2 voxel-probing hierarchy
+    (fem/multigrid.build_unstructured_multigrid) instead.
     """
     key = _material_fingerprint(problem)
     cached = getattr(problem, "_mg_cache", None)
@@ -337,9 +386,13 @@ def _get_multigrid(problem: Problem):
             except ValueError:
                 op = mg = None    # e.g. odd dims: no 2:1 coarsening
     if op is None:
-        op, mg = build_unstructured_multigrid(
-            mesh, problem.lam, problem.mu, free_mask=mask,
-            dtype=problem.dtype)
+        if os.environ.get("TOPOPT_MG", "bell").lower() == "galerkin":
+            op, mg = build_unstructured_multigrid(
+                mesh, problem.lam, problem.mu, free_mask=mask,
+                dtype=problem.dtype)
+        else:
+            op, mg, mg_info = _get_bell_multigrid(problem, mask)
+            problem._mg_build_info = mg_info
     problem._mg_cache = (key, op, mg)
     return op, mg
 
@@ -427,9 +480,14 @@ def solve_system(problem: Problem,
             op = problem.build_operator(with_bc=True)
     dmesh = getattr(op, "dmesh", None)
     n = problem.n_dofs
+    is_cm = getattr(op, "layout", None) == "cm"   # BELL: component-major
 
-    f_dev = jnp.zeros(op.n_dofs, dtype=problem.dtype)
-    f_dev = f_dev.at[:n].set(jnp.asarray(problem.f, dtype=problem.dtype))
+    if is_cm:
+        f_dev = jnp.asarray(op.to_cm(problem.f), dtype=problem.dtype)
+    else:
+        f_dev = jnp.zeros(op.n_dofs, dtype=problem.dtype)
+        f_dev = f_dev.at[:n].set(jnp.asarray(problem.f,
+                                             dtype=problem.dtype))
     f_dev = f_dev * op.free_mask           # zero prescribed values
 
     # fp32 cannot reach fp64-grade residuals: clamp the iterative tolerance
@@ -445,11 +503,14 @@ def solve_system(problem: Problem,
     history = None
 
     def _host_direct():
-        mask_np = np.asarray(op.free_mask)[:n]
+        """fp64 host solve in the PUBLIC interleaved layout (works under
+        both operator layouts — uses the problem's own f/BCs)."""
+        mask_np = free_mask_from_bcs(n, problem.bcs)
         K = assemble_scipy(problem.mesh, problem.lam, problem.mu,
                            order=problem.quad_order, free_mask=mask_np)
-        u_np = direct_solve(K, np.asarray(f_dev)[:n])
-        return jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
+        u_np = direct_solve(K, np.asarray(problem.f)[:n] * mask_np)
+        pad = n if is_cm else op.n_dofs
+        return jnp.zeros(pad, problem.dtype).at[:n].set(
             jnp.asarray(u_np, problem.dtype))
 
     if method == "direct":
@@ -460,12 +521,17 @@ def solve_system(problem: Problem,
         M = M_mg if M_mg is not None else _build_preconditioner(op, config)
         x0_dev = None
         if x0 is not None:
-            x0_dev = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
-                jnp.asarray(np.asarray(x0)[:n], problem.dtype))
+            if is_cm:
+                x0_dev = jnp.asarray(op.to_cm(np.asarray(x0)[:n]),
+                                     problem.dtype)
+            else:
+                x0_dev = jnp.zeros(op.n_dofs, problem.dtype).at[:n].set(
+                    jnp.asarray(np.asarray(x0)[:n], problem.dtype))
             x0_dev = x0_dev * op.free_mask
         # multigrid iterations are heavy: default to watchdog-safe chunks
         chunk = config.chunk_iterations or (50 if M_mg is not None else 0)
-        res = _chunked_cg(op, f_dev, M, config.tolerance,
+        op_jit = op.matrix if is_cm else op   # jittable pytree operator
+        res = _chunked_cg(op_jit, f_dev, M, config.tolerance,
                           config.max_iterations, x0=x0_dev, chunk=chunk,
                           record_history=config.history)
         u = res.x
@@ -517,11 +583,15 @@ def solve_system(problem: Problem,
                 u = _host_direct()
                 niter, rnorm, conv = 1, 0.0, True
                 method = "direct(verification-fallback)"
+                is_cm = False      # _host_direct returns interleaved u
             else:
                 conv = False
 
     with timer.phase("postprocess"):
         energy = float(op.energy(u))
+        if is_cm:
+            # back to the public interleaved DOF layout for stress/export
+            u = jnp.asarray(op.to_il(np.asarray(u)), problem.dtype)
         if dmesh is None:
             # stencil-operator solve path: build the connectivity mesh
             # once for stress recovery (same einsum path as the general

@@ -1,0 +1,840 @@
+"""Block-ELL (BSR) fast path: explicit sparse hierarchy in TPU layouts.
+
+Round-2 profiling of the imported-mesh (unstructured) solve showed the
+matrix-free fine matvec spends 59/63 ms in XLA's row gather + incidence
+scatter, and the multigrid BUILD spends its minutes in a remote-compiled
+colored-probing program (docs/PERF_NOTES.md).  This module replaces both:
+
+- The fine operator is assembled ONCE into an explicit 3x3-block ELL
+  matrix with RCM-ordered nodes and applied by the Pallas lane-gather
+  kernel (ops/pallas_bsr.py) — gather-only, scatter-free, component-major
+  ``[3, Np]`` layouts with zero tile-padding waste.
+- Coarse Galerkin operators come from a HOST scipy triple product
+  ``A_c = P^T A P`` on the explicit matrix (no device programs in the
+  build at all — immune to the remote-compile variance that made
+  identical builds cost 216/694/1898 s).
+- Transfers (P and P^T) are stored row-wise in the same scalar-weight
+  ELL layout and applied by the same kernel family.
+
+The reference counterpart is the assembled CSC matrix + CHOLMOD/Krylov
+solve (reference: src/FiniteElementAnalysis/FiniteElementAnalysis.jl:181,
+547; src/FiniteElementAnalysis/RobustSolver.jl:337-375): one setup cost,
+then fast solves for any imported mesh.  Here the setup builds the BELL
+hierarchy (cacheable to disk, see ``save_hierarchy``/``load_hierarchy``)
+and the solve is MG-PCG at HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh import Mesh
+from ..ops.pallas_bsr import (LANES, bell_matvec_pallas,
+                              bell_matvec_reference, pack_ell_rows,
+                              sell_matvec_pallas, sell_matvec_reference)
+
+_HIER_VERSION = 1     # bump to invalidate on-disk hierarchy caches
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_nodes(n: int) -> int:
+    return _cdiv(max(n, 1), LANES) * LANES
+
+
+def _default_use_pallas(dtype) -> bool:
+    return (jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BellMatrix:
+    """Constrained block-ELL operator on flat component-major vectors.
+
+    Vectors are flat ``[3 * Np]`` views of ``[3, Np]`` (component-major,
+    RCM-permuted, lane-padded).  ``matvec`` applies the Dirichlet-masked
+    form ``m * A(m u) + (1 - m) u`` — identical algebra to
+    :class:`..fem.operator.StiffnessOperator`.
+    """
+
+    cols2: jnp.ndarray         # [Nt*S, 128] int32
+    vals2: jnp.ndarray         # [Nt*S*9, 128]
+    wblk: jnp.ndarray          # [Nt] int32
+    free_mask: jnp.ndarray     # [3*Np] flat component-major
+    S: int = dataclasses.field(metadata={"static": True})
+    kc: int = dataclasses.field(metadata={"static": True})
+    n_rows_p: int = dataclasses.field(metadata={"static": True})   # Np
+    use_pallas: bool = dataclasses.field(default=False,
+                                         metadata={"static": True})
+
+    @property
+    def n_dofs(self) -> int:
+        return 3 * self.n_rows_p
+
+    def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        u_cm = u.reshape(3, self.n_rows_p)
+        if self.use_pallas:
+            out = bell_matvec_pallas(self.cols2, self.vals2, self.wblk,
+                                     u_cm, self.S, self.kc)
+        else:
+            out = bell_matvec_reference(self.cols2, self.vals2, u_cm,
+                                        self.S)
+        return out.reshape(-1)
+
+    def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        m = self.free_mask
+        return m * self.matvec_raw(m * u) + (1.0 - m) * u
+
+    def __call__(self, u):
+        return self.matvec(u)
+
+    def energy(self, u: jnp.ndarray) -> jnp.ndarray:
+        from .solvers import precise_dtype
+        Ku = self.matvec(u)
+        pd = precise_dtype()
+        return 0.5 * jnp.vdot(u.astype(pd), Ku.astype(pd))
+
+
+jax.tree_util.register_pytree_node(
+    BellMatrix,
+    lambda o: ((o.cols2, o.vals2, o.wblk, o.free_mask),
+               (o.S, o.kc, o.n_rows_p, o.use_pallas)),
+    lambda aux, leaves: BellMatrix(*leaves, *aux))
+
+
+@dataclasses.dataclass(frozen=True)
+class BellTransfer:
+    """Prolongation/restriction pair in scalar-weight ELL layouts.
+
+    Both directions are stored ROW-wise over their own output space
+    (gather-only): ``p_*`` maps coarse → fine, ``r_*`` (the transposed
+    entries regrouped by coarse row) maps fine → coarse.
+    """
+
+    p_cols2: jnp.ndarray
+    p_w2: jnp.ndarray
+    p_wblk: jnp.ndarray
+    r_cols2: jnp.ndarray
+    r_w2: jnp.ndarray
+    r_wblk: jnp.ndarray
+    pS: int = dataclasses.field(metadata={"static": True})
+    pkc: int = dataclasses.field(metadata={"static": True})
+    rS: int = dataclasses.field(metadata={"static": True})
+    rkc: int = dataclasses.field(metadata={"static": True})
+    nf_p: int = dataclasses.field(metadata={"static": True})
+    nc_p: int = dataclasses.field(metadata={"static": True})
+    use_pallas: bool = dataclasses.field(default=False,
+                                         metadata={"static": True})
+
+    def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
+        """[3, nc_p] → [3, nf_p]."""
+        if self.use_pallas:
+            return sell_matvec_pallas(self.p_cols2, self.p_w2, self.p_wblk,
+                                      u_c, self.pS, self.pkc)
+        return sell_matvec_reference(self.p_cols2, self.p_w2, u_c,
+                                     self.pS, self.nf_p)
+
+    def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
+        """[3, nf_p] → [3, nc_p]."""
+        if self.use_pallas:
+            return sell_matvec_pallas(self.r_cols2, self.r_w2, self.r_wblk,
+                                      r_f, self.rS, self.rkc)
+        return sell_matvec_reference(self.r_cols2, self.r_w2, r_f,
+                                     self.rS, self.nc_p)
+
+
+jax.tree_util.register_pytree_node(
+    BellTransfer,
+    lambda t: ((t.p_cols2, t.p_w2, t.p_wblk, t.r_cols2, t.r_w2, t.r_wblk),
+               (t.pS, t.pkc, t.rS, t.rkc, t.nf_p, t.nc_p, t.use_pallas)),
+    lambda aux, leaves: BellTransfer(*leaves, *aux))
+
+
+@dataclasses.dataclass(frozen=True)
+class BellLevel:
+    op: BellMatrix
+    binv9: jnp.ndarray            # [9, Np] inverted 3x3 node blocks, cm
+    transfer: Optional[BellTransfer]
+    lam_max: Optional[float] = None
+
+
+jax.tree_util.register_pytree_node(
+    BellLevel, lambda l: ((l.op, l.binv9, l.transfer), (l.lam_max,)),
+    lambda aux, leaves: BellLevel(*leaves, aux[0]))
+
+
+def _binv_apply(binv9: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[9, Np] cm blocks × [3, Np] → [3, Np] (pure elementwise FMAs —
+    no [N, 3, 3] padded layouts anywhere)."""
+    return jnp.stack([
+        binv9[0] * v[0] + binv9[1] * v[1] + binv9[2] * v[2],
+        binv9[3] * v[0] + binv9[4] * v[1] + binv9[5] * v[2],
+        binv9[6] * v[0] + binv9[7] * v[1] + binv9[8] * v[2]])
+
+
+@dataclasses.dataclass(frozen=True)
+class BellMG:
+    """Component-major V-cycle preconditioner over BELL levels.
+
+    Same algorithm as fem/multigrid.MultigridPreconditioner (Chebyshev
+    block-Jacobi smoothing + coarsest pseudo-inverse), re-laid-out so
+    every hot op is either the Pallas BELL kernel or an elementwise FMA
+    on ``[3, Np]`` arrays.  Drop-in ``M`` for :func:`..fem.solvers.cg`
+    via ``apply`` (flat component-major vectors).
+    """
+
+    levels: Tuple[BellLevel, ...]
+    coarse_inv: jnp.ndarray      # [3*Npc, 3*Npc], cm index space
+    nu: int = dataclasses.field(default=2, metadata={"static": True})
+    omega: float = dataclasses.field(default=0.7,
+                                     metadata={"static": True})
+    smoother: str = dataclasses.field(default="chebyshev",
+                                      metadata={"static": True})
+
+    def _smooth(self, L: BellLevel, r, z, sweeps: int):
+        if self.smoother == "chebyshev" and L.lam_max is not None:
+            return self._smooth_chebyshev(L, r, z, sweeps)
+        for _ in range(sweeps):
+            if z is None:
+                res = r
+            else:
+                res = r - L.op.matvec(z.reshape(-1)).reshape(3, -1)
+            dz = _binv_apply(L.binv9, res)
+            z = self.omega * dz if z is None else z + self.omega * dz
+        return z
+
+    def _smooth_chebyshev(self, L: BellLevel, r, z, sweeps: int):
+        # identical recurrence/band to fem/multigrid._smooth_chebyshev
+        b = 1.1 * L.lam_max
+        a = L.lam_max / 4.0
+        theta = 0.5 * (b + a)
+        delta = 0.5 * (b - a)
+        s1 = theta / delta
+        if z is None:
+            rr = r
+            d = _binv_apply(L.binv9, rr) * (1.0 / theta)
+            z = d
+        else:
+            rr = r - L.op.matvec(z.reshape(-1)).reshape(3, -1)
+            d = _binv_apply(L.binv9, rr) * (1.0 / theta)
+            z = z + d
+        rho_old = 1.0 / s1
+        for _ in range(sweeps - 1):
+            rho = 1.0 / (2.0 * s1 - rho_old)
+            rr = r - L.op.matvec(z.reshape(-1)).reshape(3, -1)
+            d = (rho * rho_old) * d + (2.0 * rho / delta) * _binv_apply(
+                L.binv9, rr)
+            z = z + d
+            rho_old = rho
+        return z
+
+    def _vcycle(self, lvl: int, r):
+        if lvl == len(self.levels):
+            return (self.coarse_inv @ r.reshape(-1)).reshape(3, -1)
+        L = self.levels[lvl]
+        z = self._smooth(L, r, None, self.nu)
+        res = r - L.op.matvec(z.reshape(-1)).reshape(3, -1)
+        m_f = L.op.free_mask.reshape(3, -1)
+        rc = L.transfer.restrict(res * m_f)
+        if lvl + 1 < len(self.levels):
+            m_c = self.levels[lvl + 1].op.free_mask.reshape(3, -1)
+        else:
+            m_c = 1.0
+        zc = self._vcycle(lvl + 1, rc * m_c)
+        z = z + L.transfer.prolong(zc) * m_f
+        z = self._smooth(L, r, z, self.nu)
+        return z
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        Np = self.levels[0].op.n_rows_p
+        return self._vcycle(0, r.reshape(3, Np)).reshape(r.shape)
+
+
+jax.tree_util.register_pytree_node(
+    BellMG,
+    lambda m: ((m.levels, m.coarse_inv), (m.nu, m.omega, m.smoother)),
+    lambda aux, leaves: BellMG(tuple(leaves[0]), leaves[1], *aux))
+
+
+# ---------------------------------------------------------------------------
+# System wrapper (non-pytree): operator + layout converters + metadata
+# ---------------------------------------------------------------------------
+
+
+class BellSystem:
+    """The fine BELL operator plus interleaved↔component-major converters.
+
+    The public API speaks the reference's interleaved DOF layout
+    (``3*node + comp``); the BELL solve path runs RCM-permuted
+    component-major.  This wrapper owns the permutation (host numpy) so
+    the jittable pytrees stay free of hashability-hostile aux data.
+    """
+
+    layout = "cm"
+
+    def __init__(self, matrix: BellMatrix, perm: np.ndarray,
+                 n_nodes: int, dtype):
+        self.matrix = matrix
+        self.perm = np.asarray(perm, np.int64)        # new pos -> old node
+        self.n_nodes = int(n_nodes)
+        self.dtype = dtype
+
+    # operator protocol (delegates; eager use only — pass .matrix to jit)
+    @property
+    def free_mask(self):
+        return self.matrix.free_mask
+
+    @property
+    def n_dofs(self):
+        return self.matrix.n_dofs
+
+    def matvec(self, u):
+        return self.matrix.matvec(u)
+
+    def energy(self, u):
+        return self.matrix.energy(u)
+
+    # layout converters (host)
+    def to_cm(self, vec_il: np.ndarray) -> np.ndarray:
+        v = np.zeros((3, self.matrix.n_rows_p))
+        v[:, : self.n_nodes] = np.asarray(vec_il, np.float64) \
+            .reshape(-1, 3)[self.perm].T
+        return v.reshape(-1)
+
+    def to_il(self, u_cm) -> np.ndarray:
+        u2 = np.asarray(u_cm, np.float64).reshape(
+            3, self.matrix.n_rows_p)[:, : self.n_nodes].T   # [N,3] permuted
+        out = np.empty_like(u2)
+        out[self.perm] = u2
+        return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Host assembly: mesh -> global BSR triplets
+# ---------------------------------------------------------------------------
+
+
+def _host_ke_blocks(mesh: Mesh, lam_e: np.ndarray, mu_e: np.ndarray,
+                    order: int, chunk: int = 131072):
+    """Yield (conn_chunk, ke_blocks [cc, k, k, 3, 3] fp64) per chunk.
+
+    Same quadrature as the device kernels (tet4 uses the exact 1-point
+    rule; reference rule FiniteElementAnalysis.jl:160-168).
+    """
+    from ..ops.elements import element_tables
+
+    _, dN, w = element_tables(mesh.element_type,
+                              1 if mesh.element_type == "tet4" else order)
+    conn = mesh.conn
+    coords = np.asarray(mesh.coords, np.float64)
+    C, k = conn.shape
+    eye = np.eye(3)
+    for c0 in range(0, C, chunk):
+        cn = conn[c0: c0 + chunk]
+        X = coords[cn]                                    # [cc, k, 3]
+        J = np.einsum("cka,qkb->cqab", X, dN, optimize=True)
+        detJ = np.linalg.det(J)
+        invJ = np.linalg.inv(
+            np.where((detJ == 0)[..., None, None], np.eye(3), J))
+        g = np.einsum("qkb,cqba->cqka", dN, invJ, optimize=True)
+        wdet = w[None, :] * detJ                          # [cc, q]
+        wl = wdet * lam_e[c0: c0 + chunk, None]
+        wm = wdet * mu_e[c0: c0 + chunk, None]
+        K1 = np.einsum("cq,cqia,cqjb->cijab", wl, g, g, optimize=True)
+        K2 = np.einsum("cq,cqib,cqja->cijab", wm, g, g, optimize=True)
+        dots = np.einsum("cq,cqid,cqjd->cij", wm, g, g, optimize=True)
+        ke = K1 + K2 + dots[..., None, None] * eye[None, None, None]
+        yield cn, ke                                      # [cc,k,k,3,3]
+
+
+def assemble_bsr_triplets(mesh: Mesh, lam_e: np.ndarray, mu_e: np.ndarray,
+                          order: int = 2):
+    """Global stiffness as deduplicated block triplets
+    (rows [nnzb], cols [nnzb], blocks [nnzb, 3, 3] fp64), sorted by
+    (row, col).  Host equivalent of the reference's Ferrite CSC assembly
+    (FiniteElementAnalysis.jl:204-250) at block granularity."""
+    C, k = mesh.conn.shape
+    rows_l, cols_l, data_l = [], [], []
+    for cn, ke in _host_ke_blocks(mesh, lam_e, mu_e, order):
+        cc = cn.shape[0]
+        r = np.repeat(cn, k, axis=1).reshape(-1)          # [cc*k*k]
+        c = np.tile(cn, (1, k)).reshape(-1)
+        d = ke.reshape(cc * k * k, 3, 3)
+        # pre-reduce within the chunk to keep the global sort small
+        r, c, d = _dedup_triplets(r, c, d)
+        rows_l.append(r)
+        cols_l.append(c)
+        data_l.append(d)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    data = np.concatenate(data_l)
+    return _dedup_triplets(rows, cols, data)
+
+
+def _dedup_triplets(rows, cols, data):
+    order = np.lexsort((cols, rows))
+    rows, cols, data = rows[order], cols[order], data[order]
+    key_change = np.empty(rows.shape[0], dtype=bool)
+    key_change[0] = True
+    np.not_equal(rows[1:], rows[:-1], out=key_change[1:])
+    key_change[1:] |= cols[1:] != cols[:-1]
+    starts = np.flatnonzero(key_change)
+    out = np.add.reduceat(data.reshape(data.shape[0], -1), starts, axis=0)
+    return rows[starts], cols[starts], out.reshape(-1, 3, 3)
+
+
+def _triplets_to_scipy_bsr(rows, cols, blocks, n_nodes: int):
+    """Sorted block triplets → scipy BSR (no 9x scalar COO detour)."""
+    import scipy.sparse as sp
+    counts = np.bincount(rows, minlength=n_nodes)
+    indptr = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return sp.bsr_matrix((blocks, cols.astype(np.int64), indptr),
+                         shape=(3 * n_nodes, 3 * n_nodes))
+
+
+def _scipy_to_triplets(A):
+    """scipy sparse → sorted block triplets (rows, cols, blocks)."""
+    Ab = A.tobsr(blocksize=(3, 3))
+    Ab.sort_indices()
+    N = Ab.shape[0] // 3
+    counts = Ab.indptr[1:] - Ab.indptr[:-1]
+    rows = np.repeat(np.arange(N), counts)
+    return rows, Ab.indices.astype(np.int64), Ab.data
+
+
+def rcm_order(rows, cols, n_nodes: int) -> np.ndarray:
+    """Bandwidth-minimizing node ordering (perm: new pos -> old node)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    G = sp.csr_matrix((np.ones(len(rows), np.int8), (rows, cols)),
+                      shape=(n_nodes, n_nodes))
+    return np.asarray(reverse_cuthill_mckee(G, symmetric_mode=True),
+                      np.int64)
+
+
+def _permute_triplets(rows, cols, blocks, perm):
+    """Apply node permutation (perm: new->old) to triplets; re-sorts."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    r2, c2 = inv[rows], inv[cols]
+    order = np.lexsort((c2, r2))
+    return r2[order], c2[order], blocks[order]
+
+
+def _diag_blocks(rows, cols, blocks, n_nodes: int) -> np.ndarray:
+    out = np.zeros((n_nodes, 3, 3))
+    sel = rows == cols
+    out[rows[sel]] = blocks[sel]
+    return out
+
+
+def _block_jacobi_inv(diag: np.ndarray, mask3: np.ndarray) -> np.ndarray:
+    """Inverted masked diagonal blocks (fixed comps get identity)."""
+    eye = np.eye(3)
+    bm = (diag * (mask3[:, :, None] * mask3[:, None, :])
+          + (1.0 - mask3)[:, :, None] * eye)
+    det = np.linalg.det(bm)
+    bm[det == 0] = eye
+    inv = np.linalg.inv(bm)
+    return inv
+
+
+def _binv9_cm(binv: np.ndarray, n_rows_p: int, dtype) -> jnp.ndarray:
+    """[N, 3, 3] → [9, Np] component-major device array."""
+    N = binv.shape[0]
+    out = np.zeros((9, n_rows_p))
+    out[:, :N] = binv.reshape(N, 9).T
+    return jnp.asarray(out, dtype)
+
+
+def _power_lambda_max(A_bsr, binv: np.ndarray, mask: np.ndarray,
+                      iters: int = 30, seed: int = 0) -> float:
+    """Upper estimate of lambda_max(B^-1 A') by host power iteration
+    (same 10% inflation rationale as fem/multigrid)."""
+    N = binv.shape[0]
+    m = np.asarray(mask, np.float64).reshape(-1)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(3 * N) * m
+    v /= np.linalg.norm(v)
+    lam = 1.0
+    for _ in range(iters):
+        Av = m * (A_bsr @ (m * v)) + (1.0 - m) * v
+        w = np.einsum("nab,nb->na", binv, Av.reshape(N, 3),
+                      optimize=True).reshape(-1)
+        lam = float(np.linalg.norm(w))
+        v = w / max(lam, 1e-300)
+    return 1.1 * lam
+
+
+def _mask_cm_flat(mask_il: np.ndarray, n_rows_p: int, dtype) -> jnp.ndarray:
+    """Interleaved [3N] mask → flat cm [3*Np] (padded rows FIXED: the
+    padded identity rows keep the operator SPD on the padded space and
+    padded components never couple to real ones)."""
+    N = len(mask_il) // 3
+    out = np.zeros((3, n_rows_p))
+    out[:, :N] = np.asarray(mask_il, np.float64).reshape(N, 3).T
+    return jnp.asarray(out.reshape(-1), dtype)
+
+
+def _bell_from_triplets(rows, cols, blocks, n_nodes, mask_il, dtype,
+                        use_pallas: bool) -> BellMatrix:
+    packed = pack_ell_rows(rows, cols, blocks, n_nodes, n_nodes)
+    return BellMatrix(
+        cols2=jnp.asarray(packed["cols2"]),
+        vals2=jnp.asarray(packed["vals2"], dtype),
+        wblk=jnp.asarray(packed["wblk"]),
+        free_mask=_mask_cm_flat(mask_il, packed["n_rows_p"], dtype),
+        S=packed["S"], kc=packed["kc"], n_rows_p=packed["n_rows_p"],
+        use_pallas=use_pallas)
+
+
+def _transfer_from_triplets(p_rows, p_cols, p_w, n_fine, n_coarse, dtype,
+                            use_pallas: bool) -> BellTransfer:
+    pp = pack_ell_rows(p_rows, p_cols, p_w, n_fine, n_coarse)
+    rp = pack_ell_rows(p_cols, p_rows, p_w, n_coarse, n_fine)
+    return BellTransfer(
+        p_cols2=jnp.asarray(pp["cols2"]),
+        p_w2=jnp.asarray(pp["vals2"], dtype),
+        p_wblk=jnp.asarray(pp["wblk"]),
+        r_cols2=jnp.asarray(rp["cols2"]),
+        r_w2=jnp.asarray(rp["vals2"], dtype),
+        r_wblk=jnp.asarray(rp["wblk"]),
+        pS=pp["S"], pkc=pp["kc"], rS=rp["S"], rkc=rp["kc"],
+        nf_p=pp["n_rows_p"], nc_p=rp["n_rows_p"],
+        use_pallas=use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy build
+# ---------------------------------------------------------------------------
+
+
+def build_bell_multigrid(
+        mesh: Mesh, lam, mu,
+        free_mask: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+        nu: int = 2,
+        coarsen: float = 2.0,
+        max_coarse_dofs: int = 4000,
+        smoother: str = "chebyshev",
+        use_pallas: Optional[bool] = None,
+        order: int = 2,
+        verbose: bool = False,
+) -> Tuple[BellSystem, BellMG, dict]:
+    """Assemble the explicit BELL hierarchy for an arbitrary solid mesh.
+
+    Entirely host-built (numpy/scipy): element stiffness → global block
+    triplets → RCM ordering → voxel-embedded trilinear P → scipy Galerkin
+    RAP chain → per-level block-Jacobi + Chebyshev bounds → coarsest
+    eigencutoff pseudo-inverse.  Returns (system, mg, info) where info
+    carries per-phase build seconds.
+
+    Match: reference FiniteElementAnalysis.jl:547 — one visible setup
+    cost, then any-mesh solves.
+    """
+    from ..utils.terminal import log
+    from .multigrid import (build_transfer_tables, build_voxel_transfer,
+                            propagate_fixed)
+
+    t_all = time.perf_counter()
+    info = {"phases": {}}
+
+    def tick(label, t0):
+        dt = time.perf_counter() - t0
+        info["phases"][label] = round(dt, 3)
+        if verbose:
+            log(f"bell MG [{label}]: {dt:.1f}s")
+        return time.perf_counter()
+
+    if use_pallas is None:
+        use_pallas = _default_use_pallas(dtype)
+
+    C = mesh.n_cells
+    N = mesh.n_nodes
+    lam_e = np.broadcast_to(np.asarray(lam, np.float64), (C,))
+    mu_e = np.broadcast_to(np.asarray(mu, np.float64), (C,))
+    if free_mask is None:
+        free_mask = np.ones(mesh.n_dofs)
+    mask_il = np.asarray(free_mask, np.float64).reshape(-1)
+
+    # --- fine assembly + RCM -------------------------------------------------
+    t0 = time.perf_counter()
+    rows, cols, blocks = assemble_bsr_triplets(mesh, lam_e, mu_e, order)
+    t0 = tick("assemble_triplets", t0)
+    perm = rcm_order(rows, cols, N)
+    rows, cols, blocks = _permute_triplets(rows, cols, blocks, perm)
+    mask_p = mask_il.reshape(N, 3)[perm].reshape(-1)
+    coords_p = np.asarray(mesh.coords, np.float64)[perm]
+    t0 = tick("rcm_permute", t0)
+
+    fine = _bell_from_triplets(rows, cols, blocks, N, mask_p, dtype,
+                               use_pallas)
+    diag = _diag_blocks(rows, cols, blocks, N)
+    binv = _block_jacobi_inv(diag, mask_p.reshape(N, 3))
+    A_bsr = _triplets_to_scipy_bsr(rows, cols, blocks, N)
+    lam_max = (_power_lambda_max(A_bsr, binv, mask_p)
+               if smoother == "chebyshev" else None)
+    t0 = tick("fine_binv_lam_max", t0)
+
+    # --- voxel lattice dims (same policy as build_unstructured_multigrid) ----
+    lo, hi = mesh.bounding_box()
+    extent = np.maximum(np.asarray(hi) - np.asarray(lo), 1e-300)
+    h = coarsen * (float(np.prod(extent)) / max(N, 1)) ** (1.0 / 3.0)
+    dims0 = np.maximum(np.round(extent / h).astype(int), 1)
+
+    def rounded(L):
+        f = 2 ** (L - 1)
+        dr = ((dims0 + f - 1) // f) * f
+        return dr, 3 * int(np.prod(dr // f + 1))
+
+    L = 1
+    while True:
+        dims_r, ndc = rounded(L)
+        if ndc <= max_coarse_dofs or L >= 12:
+            break
+        L += 1
+    if ndc > max_coarse_dofs:
+        raise ValueError(
+            f"coarsest voxel level has {ndc} dofs > max_coarse_dofs="
+            f"{max_coarse_dofs}")
+    vx, vy, vz = (int(x) for x in dims_r)
+    if verbose:
+        log(f"bell MG: voxel lattice {vx}x{vy}x{vz}, {L} voxel level(s), "
+            f"coarsest {ndc} dofs")
+
+    # --- level chain: P (triplets) -> RAP -> RCM -> BELL ---------------------
+    levels = [BellLevel(fine, _binv9_cm(binv, fine.n_rows_p, dtype), None,
+                        lam_max)]
+    transfers = []
+    A_cur = A_bsr.tocsr()
+    mask_cur = mask_p
+    n_cur = N
+    lattice_dims = (vx, vy, vz)
+    import scipy.sparse as sp
+    for li in range(L):
+        if li == 0:
+            parents, weights, _ = build_voxel_transfer(
+                coords_p, lo, hi, lattice_dims)
+        else:
+            cnx, cny, cnz = lattice_dims
+            parents, weights, _ = build_transfer_tables(cnx, cny, cnz)
+            lattice_dims = (cnx // 2, cny // 2, cnz // 2)
+            # rows of these tables are in the PREVIOUS level's lattice
+            # order; remap to its RCM order
+            parents = parents[prev_lattice_perm]
+            weights = weights[prev_lattice_perm]
+        cnx2, cny2, cnz2 = lattice_dims if li else (vx, vy, vz)
+        n_next = (cnx2 + 1) * (cny2 + 1) * (cnz2 + 1)
+
+        live = (weights > 0) & (parents < n_next)
+        p_rows = np.repeat(np.arange(parents.shape[0]),
+                           parents.shape[1]).reshape(parents.shape)[live]
+        p_cols = parents[live].astype(np.int64)
+        p_w = weights[live]
+
+        # coarse mask in lattice order
+        fixed_c = propagate_fixed(parents, weights,
+                                  mask_cur.reshape(-1, 3) == 0, n_next)
+        mask_next_lat = np.where(fixed_c, 0.0, 1.0).reshape(-1)
+
+        # Galerkin RAP on host (scipy)
+        P_node = sp.coo_matrix((p_w, (p_rows, p_cols)),
+                               shape=(n_cur, n_next)).tocsr()
+        P_dof = sp.kron(P_node, sp.eye(3), format="csr")
+        A_next = (P_dof.T @ A_cur @ P_dof).tocsr()
+        if A_next.nnz:
+            tol = 1e-14 * np.abs(A_next.diagonal()).max()
+            A_next.data[np.abs(A_next.data) < tol] = 0.0
+            A_next.eliminate_zeros()
+        # fix empty-diagonal dofs (voxel corners supporting no fine node)
+        d = A_next.diagonal()
+        mask_next_lat[d <= 0] = 0.0
+
+        # RCM the coarse level in its own graph; induced transfer tables
+        r_n, c_n, b_n = _scipy_to_triplets(A_next)
+        perm_c = rcm_order(r_n, c_n, n_next)
+        inv_c = np.empty_like(perm_c)
+        inv_c[perm_c] = np.arange(n_next)
+        r_n, c_n, b_n = _permute_triplets(r_n, c_n, b_n, perm_c)
+        mask_next = mask_next_lat.reshape(n_next, 3)[perm_c].reshape(-1)
+        p_cols = inv_c[p_cols]
+        prev_lattice_perm = perm_c           # for the next level's tables
+
+        transfers.append(_transfer_from_triplets(
+            p_rows, p_cols, p_w, n_cur, n_next, dtype, use_pallas))
+
+        op_c = _bell_from_triplets(r_n, c_n, b_n, n_next, mask_next,
+                                   dtype, use_pallas)
+        diag_c = _diag_blocks(r_n, c_n, b_n, n_next)
+        binv_c = _block_jacobi_inv(diag_c, mask_next.reshape(n_next, 3))
+        A_next_p = _triplets_to_scipy_bsr(r_n, c_n, b_n, n_next)
+        lam_c = (_power_lambda_max(A_next_p, binv_c, mask_next)
+                 if smoother == "chebyshev" and li + 1 < L else None)
+        levels.append(BellLevel(op_c, _binv9_cm(binv_c, op_c.n_rows_p,
+                                                dtype), None, lam_c))
+        A_cur = A_next_p.tocsr()
+        mask_cur = mask_next
+        n_cur = n_next
+    t0 = tick("rap_chain", t0)
+
+    # attach transfers (level i -> i+1)
+    levels = [dataclasses.replace(levels[i], transfer=transfers[i])
+              if i < len(transfers) else levels[i]
+              for i in range(len(levels))]
+
+    # --- coarsest pseudo-inverse (same eigencutoff logic as fem/multigrid) ---
+    m_c = mask_cur
+    K_c = A_cur.toarray()
+    K_c = (m_c[:, None] * K_c * m_c[None, :]
+           + np.diag(1.0 - m_c))
+    K_c = 0.5 * (K_c + K_c.T)
+    evals, evecs = np.linalg.eigh(K_c)
+    rel_cut = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-10
+    cut = max(float(evals.max()), 1e-300) * rel_cut
+    inv_e = np.where(evals > cut,
+                     1.0 / np.where(evals > cut, evals, 1.0), 0.0)
+    inv_il = (evecs * inv_e) @ evecs.T
+    inv_il = m_c[:, None] * inv_il * m_c[None, :]
+    # scatter into the padded cm index space: cm index = a*Npc + n
+    Npc = levels[-1].op.n_rows_p
+    cm_idx = (np.arange(3 * n_cur).reshape(n_cur, 3) // 3
+              + (np.arange(3)[None, :]) * Npc).reshape(-1)
+    inv_cm = np.zeros((3 * Npc, 3 * Npc))
+    inv_cm[np.ix_(cm_idx, cm_idx)] = inv_il
+    coarse_inv = jnp.asarray(inv_cm, dtype)
+    t0 = tick("coarse_pinv", t0)
+
+    mg = BellMG(tuple(levels[:-1]) if len(levels) > 1 else tuple(levels),
+                coarse_inv, nu=nu, smoother=smoother)
+    # NOTE: when len(levels) > 1 the last BellLevel is represented only by
+    # coarse_inv (same convention as fem/multigrid).
+    system = BellSystem(fine, perm, N, dtype)
+    info["total_seconds"] = round(time.perf_counter() - t_all, 3)
+    info["n_levels"] = len(levels) + 1
+    info["S_fine"] = fine.S
+    info["kc_fine"] = fine.kc
+    if verbose:
+        log(f"bell MG: total build {info['total_seconds']:.1f}s, fine "
+            f"S={fine.S} kc={fine.kc}, lam_max={lam_max}")
+    return system, mg, info
+
+
+# ---------------------------------------------------------------------------
+# Disk persistence (VERDICT r2 #2: the reference charges no setup a user
+# can't see; cached hierarchies make repeat solves pay none either)
+# ---------------------------------------------------------------------------
+
+
+def hierarchy_cache_key(mesh: Mesh, lam, mu, free_mask, dtype,
+                        order: int = 2) -> str:
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(mesh.coords).tobytes())
+    h.update(np.ascontiguousarray(mesh.conn).tobytes())
+    h.update(np.asarray(lam, np.float64).tobytes())
+    h.update(np.asarray(mu, np.float64).tobytes())
+    h.update(np.asarray(free_mask, np.float64).tobytes())
+    h.update(str(jnp.dtype(dtype)).encode())
+    h.update(str(order).encode())
+    h.update(str(_HIER_VERSION).encode())
+    return h.hexdigest()[:24]
+
+
+def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
+                   info: dict) -> str:
+    """Serialize (system, mg) to one .npz archive."""
+    arrs = {"perm": system.perm,
+            "n_nodes": np.int64(system.n_nodes),
+            "coarse_inv": np.asarray(mg.coarse_inv),
+            "nu": np.int64(mg.nu),
+            "n_levels": np.int64(len(mg.levels)),
+            "smoother": np.bytes_(mg.smoother.encode()),
+            "build_seconds": np.float64(info.get("total_seconds", 0.0))}
+
+    def put_bell(tag, op: BellMatrix):
+        arrs[f"{tag}_cols2"] = np.asarray(op.cols2)
+        arrs[f"{tag}_vals2"] = np.asarray(op.vals2)
+        arrs[f"{tag}_wblk"] = np.asarray(op.wblk)
+        arrs[f"{tag}_mask"] = np.asarray(op.free_mask)
+        arrs[f"{tag}_meta"] = np.asarray([op.S, op.kc, op.n_rows_p],
+                                         np.int64)
+
+    for i, lvl in enumerate(mg.levels):
+        put_bell(f"L{i}", lvl.op)
+        arrs[f"L{i}_binv9"] = np.asarray(lvl.binv9)
+        arrs[f"L{i}_lam_max"] = np.float64(
+            lvl.lam_max if lvl.lam_max is not None else np.nan)
+        t = lvl.transfer
+        if t is not None:
+            arrs[f"L{i}_t_pcols"] = np.asarray(t.p_cols2)
+            arrs[f"L{i}_t_pw"] = np.asarray(t.p_w2)
+            arrs[f"L{i}_t_pwblk"] = np.asarray(t.p_wblk)
+            arrs[f"L{i}_t_rcols"] = np.asarray(t.r_cols2)
+            arrs[f"L{i}_t_rw"] = np.asarray(t.r_w2)
+            arrs[f"L{i}_t_rwblk"] = np.asarray(t.r_wblk)
+            arrs[f"L{i}_t_meta"] = np.asarray(
+                [t.pS, t.pkc, t.rS, t.rkc, t.nf_p, t.nc_p], np.int64)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **arrs)
+    return path
+
+
+def load_hierarchy(path: str, dtype,
+                   use_pallas: Optional[bool] = None
+                   ) -> Tuple[BellSystem, BellMG, dict]:
+    z = np.load(path, allow_pickle=False)
+    if use_pallas is None:
+        use_pallas = _default_use_pallas(dtype)
+
+    def get_bell(tag):
+        S, kc, nrp = (int(x) for x in z[f"{tag}_meta"])
+        return BellMatrix(
+            cols2=jnp.asarray(z[f"{tag}_cols2"]),
+            vals2=jnp.asarray(z[f"{tag}_vals2"], dtype),
+            wblk=jnp.asarray(z[f"{tag}_wblk"]),
+            free_mask=jnp.asarray(z[f"{tag}_mask"], dtype),
+            S=S, kc=kc, n_rows_p=nrp, use_pallas=use_pallas)
+
+    n_levels = int(z["n_levels"])
+    levels = []
+    for i in range(n_levels):
+        op = get_bell(f"L{i}")
+        lam = float(z[f"L{i}_lam_max"])
+        transfer = None
+        if f"L{i}_t_meta" in z:
+            pS, pkc, rS, rkc, nf_p, nc_p = (int(x)
+                                            for x in z[f"L{i}_t_meta"])
+            transfer = BellTransfer(
+                p_cols2=jnp.asarray(z[f"L{i}_t_pcols"]),
+                p_w2=jnp.asarray(z[f"L{i}_t_pw"], dtype),
+                p_wblk=jnp.asarray(z[f"L{i}_t_pwblk"]),
+                r_cols2=jnp.asarray(z[f"L{i}_t_rcols"]),
+                r_w2=jnp.asarray(z[f"L{i}_t_rw"], dtype),
+                r_wblk=jnp.asarray(z[f"L{i}_t_rwblk"]),
+                pS=pS, pkc=pkc, rS=rS, rkc=rkc, nf_p=nf_p, nc_p=nc_p,
+                use_pallas=use_pallas)
+        levels.append(BellLevel(
+            op, jnp.asarray(z[f"L{i}_binv9"], dtype), transfer,
+            None if np.isnan(lam) else lam))
+    mg = BellMG(tuple(levels), jnp.asarray(z["coarse_inv"], dtype),
+                nu=int(z["nu"]), smoother=bytes(z["smoother"]).decode())
+    system = BellSystem(levels[0].op, z["perm"], int(z["n_nodes"]), dtype)
+    info = {"loaded_from": path,
+            "build_seconds": float(z["build_seconds"]),
+            "cached": True}
+    return system, mg, info
