@@ -27,11 +27,9 @@ from topopteval_tpu.materials import SIMPMaterial, lame_parameters
 from topopteval_tpu.models.beams import generate_grid_tet
 from topopteval_tpu.ops.pallas_bsr import (LANES, bell_matvec_pallas,
                                            bell_matvec_reference,
-                                           bell_matvec_win_pallas,
                                            pack_ell_rows,
                                            sell_matvec_pallas,
-                                           sell_matvec_reference,
-                                           sell_matvec_win_pallas)
+                                           sell_matvec_reference)
 
 LAM, MU = lame_parameters(1.0, 0.3)
 
@@ -71,13 +69,9 @@ def test_bell_kernels_match_scipy():
     ref = np.asarray(bell_matvec_reference(c2, v2, u_d, pk["S"]))[:, :N]
     np.testing.assert_allclose(ref, truth, rtol=1e-12, atol=1e-12)
     o1 = np.asarray(bell_matvec_pallas(
-        c2, v2, jnp.asarray(pk["wblk"]), u_d, pk["S"], pk["kc"],
-        interpret=True))[:, :N]
+        c2, v2, jnp.asarray(pk["wblk"]), jnp.asarray(pk["gbounds"]),
+        u_d, pk["S"], pk["kc"], interpret=True))[:, :N]
     np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
-    o2 = np.asarray(bell_matvec_win_pallas(
-        c2, v2, jnp.asarray(pk["sbase"]), u_d, pk["S"], pk["kw"],
-        interpret=True))[:, :N]
-    np.testing.assert_allclose(o2, truth, rtol=1e-12, atol=1e-12)
 
 
 def test_sell_kernels_match_scipy():
@@ -98,13 +92,9 @@ def test_sell_kernels_match_scipy():
                                            pp["n_rows_p"]))[:, :N]
     np.testing.assert_allclose(ref, truth, rtol=1e-12, atol=1e-12)
     o1 = np.asarray(sell_matvec_pallas(
-        c2, w2, jnp.asarray(pp["wblk"]), uc_d, pp["S"], pp["kc"],
-        interpret=True))[:, :N]
+        c2, w2, jnp.asarray(pp["wblk"]), jnp.asarray(pp["gbounds"]),
+        uc_d, pp["S"], pp["kc"], interpret=True))[:, :N]
     np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
-    o2 = np.asarray(sell_matvec_win_pallas(
-        c2, w2, jnp.asarray(pp["sbase"]), uc_d, pp["S"], pp["kw"],
-        interpret=True))[:, :N]
-    np.testing.assert_allclose(o2, truth, rtol=1e-12, atol=1e-12)
 
 
 # ---------------------------------------------------------------------------

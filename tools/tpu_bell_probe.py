@@ -1,10 +1,10 @@
 """On-chip validation + microbenchmark of the BELL Pallas kernels.
 
 Stages (progress printed per stage so run_tpu.sh sees growth):
-1. small random BSR: chunk-scan and windowed kernels vs the jnp twin
-2. small transfer (sell) kernels vs twin
+1. small random BSR: grouped chunk-scan kernel vs the jnp twin
+2. small transfer (sell) kernel vs twin
 3. beam-mesh BSR at the requested scale: correctness vs host scipy,
-   then chained-matvec timing for both variants
+   then chained-matvec timing
 
 Usage: python tools/tpu_bell_probe.py [scale]
 """
@@ -31,9 +31,8 @@ def main():
     log(f"devices: {jax.devices()}")
 
     from topopteval_tpu.ops.pallas_bsr import (
-        LANES, bell_matvec_pallas, bell_matvec_reference,
-        bell_matvec_win_pallas, pack_ell_rows, sell_matvec_pallas,
-        sell_matvec_reference, sell_matvec_win_pallas)
+        LANES, bell_matvec_pallas, bell_matvec_reference, pack_ell_rows,
+        sell_matvec_pallas, sell_matvec_reference)
 
     rng = np.random.default_rng(0)
 
@@ -51,18 +50,13 @@ def main():
     c2, v2 = jnp.asarray(pk["cols2"]), jnp.asarray(pk["vals2"])
     ref = np.asarray(bell_matvec_reference(c2, v2, u_d, pk["S"]))
     t0 = time.time()
-    out1 = np.asarray(bell_matvec_pallas(c2, v2, jnp.asarray(pk["wblk"]),
-                                         u_d, pk["S"], pk["kc"]))
+    out1 = np.asarray(bell_matvec_pallas(
+        c2, v2, jnp.asarray(pk["wblk"]), jnp.asarray(pk["gbounds"]),
+        u_d, pk["S"], pk["kc"]))
     err1 = np.abs(out1 - ref).max() / np.abs(ref).max()
-    log(f"stage1 chunk-scan: err={err1:.2e} (compile {time.time()-t0:.1f}s, "
+    log(f"stage1 bell: err={err1:.2e} (compile {time.time()-t0:.1f}s, "
         f"S={pk['S']} kc={pk['kc']})")
-    t0 = time.time()
-    out2 = np.asarray(bell_matvec_win_pallas(c2, v2, jnp.asarray(pk["sbase"]),
-                                             u_d, pk["S"], pk["kw"]))
-    err2 = np.abs(out2 - ref).max() / np.abs(ref).max()
-    log(f"stage1 windowed:   err={err2:.2e} (compile {time.time()-t0:.1f}s, "
-        f"kw={pk['kw']})")
-    assert err1 < 1e-5 and err2 < 1e-5, "small-case kernel mismatch"
+    assert err1 < 1e-5, "small-case kernel mismatch"
 
     # -- stage 2: small transfer --------------------------------------------
     nnz = 1200
@@ -77,15 +71,12 @@ def main():
     pc2, pw2 = jnp.asarray(pp["cols2"]), jnp.asarray(pp["vals2"])
     refp = np.asarray(sell_matvec_reference(pc2, pw2, uc_d, pp["S"],
                                             pp["n_rows_p"]))
-    o1 = np.asarray(sell_matvec_pallas(pc2, pw2, jnp.asarray(pp["wblk"]),
-                                       uc_d, pp["S"], pp["kc"]))
-    o2 = np.asarray(sell_matvec_win_pallas(pc2, pw2, jnp.asarray(pp["sbase"]),
-                                           uc_d, pp["S"], pp["kw"]))
+    o1 = np.asarray(sell_matvec_pallas(
+        pc2, pw2, jnp.asarray(pp["wblk"]), jnp.asarray(pp["gbounds"]),
+        uc_d, pp["S"], pp["kc"]))
     scale_p = np.abs(refp).max()
-    log(f"stage2 sell: chunk err={np.abs(o1-refp).max()/scale_p:.2e} "
-        f"win err={np.abs(o2-refp).max()/scale_p:.2e}")
+    log(f"stage2 sell: err={np.abs(o1-refp).max()/scale_p:.2e}")
     assert np.abs(o1 - refp).max() / scale_p < 1e-5
-    assert np.abs(o2 - refp).max() / scale_p < 1e-5
 
     # -- stage 3: beam mesh at scale ----------------------------------------
     from topopteval_tpu.fem.bell import (assemble_bsr_triplets,
@@ -107,7 +98,7 @@ def main():
     pk3 = pack_ell_rows(r3, c3, b3.astype(np.float32), mesh.n_nodes,
                         mesh.n_nodes)
     log(f"stage3 host build {time.time()-t0:.1f}s: S={pk3['S']} "
-        f"kc={pk3['kc']} kw={pk3['kw']} Nt={pk3['n_rows_p']//LANES}")
+        f"kc={pk3['kc']} Nt={pk3['n_rows_p']//LANES}")
     A = _triplets_to_scipy_bsr(r3, c3, b3, mesh.n_nodes)
     Np3 = pk3["n_rows_p"]
     x = np.zeros((3, Np3), np.float32)
@@ -116,45 +107,38 @@ def main():
     truth = (A @ x[:, :mesh.n_nodes].T.reshape(-1)).reshape(-1, 3).T
 
     c2, v2 = jnp.asarray(pk3["cols2"]), jnp.asarray(pk3["vals2"])
-    wb, sb = jnp.asarray(pk3["wblk"]), jnp.asarray(pk3["sbase"])
+    wb, gb = jnp.asarray(pk3["wblk"]), jnp.asarray(pk3["gbounds"])
     x_d = jnp.asarray(x)
     tscale = np.abs(truth).max()
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("S", "kc", "reps",
-                                                 "variant", "kw"))
-    def chain(c2, v2, w, x, S, kc, kw, reps, variant):
+    @functools.partial(jax.jit, static_argnames=("S", "kc", "reps"))
+    def chain(c2, v2, wb, gb, x, S, kc, reps):
         y = x
         for _ in range(reps):
-            if variant == "chunk":
-                y = bell_matvec_pallas(c2, v2, w, y, S, kc)
-            else:
-                y = bell_matvec_win_pallas(c2, v2, w, y, S, kw)
+            y = bell_matvec_pallas(c2, v2, wb, gb, y, S, kc)
             y = y * (1.0 / jnp.float32(1000.0))   # keep magnitudes bounded
         return y
 
-    for variant, warg in (("chunk", wb), ("win", sb)):
-        t0 = time.time()
-        o = np.asarray(
-            chain(c2, v2, warg, x_d, pk3["S"], pk3["kc"], pk3["kw"], 1,
-                  variant))[:, :mesh.n_nodes] * 1000.0
-        err = np.abs(o - truth).max() / tscale
-        log(f"stage3 {variant}: err={err:.2e} "
-            f"(compile+run {time.time()-t0:.1f}s)")
-        reps = 20
-        t0 = time.time()
-        chain(c2, v2, warg, x_d, pk3["S"], pk3["kc"], pk3["kw"], reps,
-              variant).block_until_ready()
-        t_compile = time.time() - t0
-        t0 = time.time()
-        chain(c2, v2, warg, x_d, pk3["S"], pk3["kc"], pk3["kw"], reps,
-              variant).block_until_ready()
-        dt = (time.time() - t0) / reps
-        nnzb = len(r3)
-        gbps = (nnzb * (36 + 4) + Np3 * 3 * 4 * 2) / dt / 1e9
-        log(f"stage3 {variant}: {dt*1e3:.2f} ms/matvec "
-            f"({gbps:.0f} GB/s effective; chain compile {t_compile:.1f}s)")
+    t0 = time.time()
+    o = np.asarray(chain(c2, v2, wb, gb, x_d, pk3["S"], pk3["kc"], 1)
+                   )[:, :mesh.n_nodes] * 1000.0
+    err = np.abs(o - truth).max() / tscale
+    log(f"stage3 bell: err={err:.2e} (compile+run {time.time()-t0:.1f}s)")
+    reps = 20
+    t0 = time.time()
+    chain(c2, v2, wb, gb, x_d, pk3["S"], pk3["kc"],
+          reps).block_until_ready()
+    t_compile = time.time() - t0
+    t0 = time.time()
+    chain(c2, v2, wb, gb, x_d, pk3["S"], pk3["kc"],
+          reps).block_until_ready()
+    dt = (time.time() - t0) / reps
+    nnzb3 = len(r3)
+    gbps = (nnzb3 * (36 + 4) + Np3 * 3 * 4 * 2) / dt / 1e9
+    log(f"stage3 bell: {dt*1e3:.2f} ms/matvec "
+        f"({gbps:.0f} GB/s effective; chain compile {t_compile:.1f}s)")
 
     log("PROBE OK")
 

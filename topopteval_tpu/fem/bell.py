@@ -41,7 +41,7 @@ from ..ops.pallas_bsr import (LANES, bell_matvec_pallas,
                               bell_matvec_reference, pack_ell_rows,
                               sell_matvec_pallas, sell_matvec_reference)
 
-_HIER_VERSION = 1     # bump to invalidate on-disk hierarchy caches
+_HIER_VERSION = 3     # bump to invalidate on-disk hierarchy caches
 
 
 def _cdiv(a, b):
@@ -73,8 +73,9 @@ class BellMatrix:
     """
 
     cols2: jnp.ndarray         # [Nt*S, 128] int32
-    vals2: jnp.ndarray         # [Nt*S*9, 128]
+    vals2: jnp.ndarray         # [Nt*9*S, 128] plane-major blocks
     wblk: jnp.ndarray          # [Nt] int32
+    gbounds: jnp.ndarray       # [Nt, 1, 2*ng] int32 live chunk ranges
     free_mask: jnp.ndarray     # [3*Np] flat component-major
     S: int = dataclasses.field(metadata={"static": True})
     kc: int = dataclasses.field(metadata={"static": True})
@@ -90,7 +91,7 @@ class BellMatrix:
         u_cm = u.reshape(3, self.n_rows_p)
         if self.use_pallas:
             out = bell_matvec_pallas(self.cols2, self.vals2, self.wblk,
-                                     u_cm, self.S, self.kc)
+                                     self.gbounds, u_cm, self.S, self.kc)
         else:
             out = bell_matvec_reference(self.cols2, self.vals2, u_cm,
                                         self.S)
@@ -112,7 +113,7 @@ class BellMatrix:
 
 jax.tree_util.register_pytree_node(
     BellMatrix,
-    lambda o: ((o.cols2, o.vals2, o.wblk, o.free_mask),
+    lambda o: ((o.cols2, o.vals2, o.wblk, o.gbounds, o.free_mask),
                (o.S, o.kc, o.n_rows_p, o.use_pallas)),
     lambda aux, leaves: BellMatrix(*leaves, *aux))
 
@@ -129,9 +130,11 @@ class BellTransfer:
     p_cols2: jnp.ndarray
     p_w2: jnp.ndarray
     p_wblk: jnp.ndarray
+    p_gb: jnp.ndarray
     r_cols2: jnp.ndarray
     r_w2: jnp.ndarray
     r_wblk: jnp.ndarray
+    r_gb: jnp.ndarray
     pS: int = dataclasses.field(metadata={"static": True})
     pkc: int = dataclasses.field(metadata={"static": True})
     rS: int = dataclasses.field(metadata={"static": True})
@@ -145,7 +148,7 @@ class BellTransfer:
         """[3, nc_p] → [3, nf_p]."""
         if self.use_pallas:
             return sell_matvec_pallas(self.p_cols2, self.p_w2, self.p_wblk,
-                                      u_c, self.pS, self.pkc)
+                                      self.p_gb, u_c, self.pS, self.pkc)
         return sell_matvec_reference(self.p_cols2, self.p_w2, u_c,
                                      self.pS, self.nf_p)
 
@@ -153,14 +156,15 @@ class BellTransfer:
         """[3, nf_p] → [3, nc_p]."""
         if self.use_pallas:
             return sell_matvec_pallas(self.r_cols2, self.r_w2, self.r_wblk,
-                                      r_f, self.rS, self.rkc)
+                                      self.r_gb, r_f, self.rS, self.rkc)
         return sell_matvec_reference(self.r_cols2, self.r_w2, r_f,
                                      self.rS, self.nc_p)
 
 
 jax.tree_util.register_pytree_node(
     BellTransfer,
-    lambda t: ((t.p_cols2, t.p_w2, t.p_wblk, t.r_cols2, t.r_w2, t.r_wblk),
+    lambda t: ((t.p_cols2, t.p_w2, t.p_wblk, t.p_gb,
+                t.r_cols2, t.r_w2, t.r_wblk, t.r_gb),
                (t.pS, t.pkc, t.rS, t.rkc, t.nf_p, t.nc_p, t.use_pallas)),
     lambda aux, leaves: BellTransfer(*leaves, *aux))
 
@@ -499,6 +503,7 @@ def _bell_from_triplets(rows, cols, blocks, n_nodes, mask_il, dtype,
         cols2=jnp.asarray(packed["cols2"]),
         vals2=jnp.asarray(packed["vals2"], dtype),
         wblk=jnp.asarray(packed["wblk"]),
+        gbounds=jnp.asarray(packed["gbounds"]),
         free_mask=_mask_cm_flat(mask_il, packed["n_rows_p"], dtype),
         S=packed["S"], kc=packed["kc"], n_rows_p=packed["n_rows_p"],
         use_pallas=use_pallas)
@@ -512,9 +517,11 @@ def _transfer_from_triplets(p_rows, p_cols, p_w, n_fine, n_coarse, dtype,
         p_cols2=jnp.asarray(pp["cols2"]),
         p_w2=jnp.asarray(pp["vals2"], dtype),
         p_wblk=jnp.asarray(pp["wblk"]),
+        p_gb=jnp.asarray(pp["gbounds"]),
         r_cols2=jnp.asarray(rp["cols2"]),
         r_w2=jnp.asarray(rp["vals2"], dtype),
         r_wblk=jnp.asarray(rp["wblk"]),
+        r_gb=jnp.asarray(rp["gbounds"]),
         pS=pp["S"], pkc=pp["kc"], rS=rp["S"], rkc=rp["kc"],
         nf_p=pp["n_rows_p"], nc_p=rp["n_rows_p"],
         use_pallas=use_pallas)
@@ -666,9 +673,15 @@ def build_bell_multigrid(
         d = A_next.diagonal()
         mask_next_lat[d <= 0] = 0.0
 
-        # RCM the coarse level in its own graph; induced transfer tables
+        # order the coarse level by its fine-children positions (NOT an
+        # independent RCM): transfer gather windows then stay tight in
+        # BOTH directions, and the induced order inherits the fine RCM's
+        # geometric coherence (an uncorrelated coarse RCM made restrict
+        # windows span hundreds of chunks -> Mosaic scoped-VMEM OOM)
         r_n, c_n, b_n = _scipy_to_triplets(A_next)
-        perm_c = rcm_order(r_n, c_n, n_next)
+        keys = np.full(n_next, np.iinfo(np.int64).max)
+        np.minimum.at(keys, p_cols, p_rows)
+        perm_c = np.argsort(keys, kind="stable")
         inv_c = np.empty_like(perm_c)
         inv_c[perm_c] = np.arange(n_next)
         r_n, c_n, b_n = _permute_triplets(r_n, c_n, b_n, perm_c)
@@ -770,6 +783,7 @@ def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
         arrs[f"{tag}_cols2"] = np.asarray(op.cols2)
         arrs[f"{tag}_vals2"] = np.asarray(op.vals2)
         arrs[f"{tag}_wblk"] = np.asarray(op.wblk)
+        arrs[f"{tag}_gb"] = np.asarray(op.gbounds)
         arrs[f"{tag}_mask"] = np.asarray(op.free_mask)
         arrs[f"{tag}_meta"] = np.asarray([op.S, op.kc, op.n_rows_p],
                                          np.int64)
@@ -784,13 +798,17 @@ def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
             arrs[f"L{i}_t_pcols"] = np.asarray(t.p_cols2)
             arrs[f"L{i}_t_pw"] = np.asarray(t.p_w2)
             arrs[f"L{i}_t_pwblk"] = np.asarray(t.p_wblk)
+            arrs[f"L{i}_t_pgb"] = np.asarray(t.p_gb)
             arrs[f"L{i}_t_rcols"] = np.asarray(t.r_cols2)
             arrs[f"L{i}_t_rw"] = np.asarray(t.r_w2)
             arrs[f"L{i}_t_rwblk"] = np.asarray(t.r_wblk)
+            arrs[f"L{i}_t_rgb"] = np.asarray(t.r_gb)
             arrs[f"L{i}_t_meta"] = np.asarray(
                 [t.pS, t.pkc, t.rS, t.rkc, t.nf_p, t.nc_p], np.int64)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **arrs)
+    # uncompressed: savez_compressed's single-core zlib took minutes on
+    # the 1.23M-tet hierarchy (~400 MB of arrays)
+    np.savez(path, **arrs)
     return path
 
 
@@ -807,6 +825,7 @@ def load_hierarchy(path: str, dtype,
             cols2=jnp.asarray(z[f"{tag}_cols2"]),
             vals2=jnp.asarray(z[f"{tag}_vals2"], dtype),
             wblk=jnp.asarray(z[f"{tag}_wblk"]),
+            gbounds=jnp.asarray(z[f"{tag}_gb"]),
             free_mask=jnp.asarray(z[f"{tag}_mask"], dtype),
             S=S, kc=kc, n_rows_p=nrp, use_pallas=use_pallas)
 
@@ -823,9 +842,11 @@ def load_hierarchy(path: str, dtype,
                 p_cols2=jnp.asarray(z[f"L{i}_t_pcols"]),
                 p_w2=jnp.asarray(z[f"L{i}_t_pw"], dtype),
                 p_wblk=jnp.asarray(z[f"L{i}_t_pwblk"]),
+                p_gb=jnp.asarray(z[f"L{i}_t_pgb"]),
                 r_cols2=jnp.asarray(z[f"L{i}_t_rcols"]),
                 r_w2=jnp.asarray(z[f"L{i}_t_rw"], dtype),
                 r_wblk=jnp.asarray(z[f"L{i}_t_rwblk"]),
+                r_gb=jnp.asarray(z[f"L{i}_t_rgb"]),
                 pS=pS, pkc=pkc, rS=rS, rkc=rkc, nf_p=nf_p, nc_p=nc_p,
                 use_pallas=use_pallas)
         levels.append(BellLevel(

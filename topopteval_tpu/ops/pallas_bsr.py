@@ -14,8 +14,11 @@ the scatter and the padded layouts:
   ``jnp.take_along_axis(x, idx, axis=1)`` to ``tpu.dynamic_gather``
   (jax/_src/pallas/mosaic/lowering.py); with nodes RCM-ordered
   (bandwidth-minimized), each tile's column window spans only a few
-  128-lane chunks, so the gather is a handful of masked register
-  shuffles per slot.
+  128-lane chunks.
+- **Grouped gathers + group skip**: slots are processed ``GROUP=8`` at a
+  time (one [3*G, 128] gather instead of eight [3, 128] ones), and each
+  (tile, group) carries its live chunk range in SMEM so dead chunks cost
+  one scalar compare, not G gathers.
 - **Scatter-free**: the operator is applied row-wise (gather-only); the
   transpose operators (restriction) are stored as their own row-wise
   tables.
@@ -27,6 +30,13 @@ src/FiniteElementAnalysis/RobustSolver.jl:337-375).
 
 Every kernel has an algebraically-identical pure-jnp twin
 (``*_reference``) used on CPU and in parity tests.
+
+Mosaic constraints baked in (learned on-chip, round 3):
+- no i1 vreg bitcasts → masks are arithmetic int→float, never bool
+  concat/select shapes;
+- block shapes must tile (8, 128) or match the array dims → cols/vals
+  ship as 3D [Nt, rows, 128] with per-tile (1, rows, 128) blocks, SMEM
+  scalars as [Nt, 1, k].
 """
 
 from __future__ import annotations
@@ -40,6 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+GROUP = 8          # slots per in-kernel gather; pack pads S to a multiple
 
 
 def _cdiv(a, b):
@@ -47,314 +58,200 @@ def _cdiv(a, b):
 
 
 # ---------------------------------------------------------------------------
-# 3x3-block ELL matvec:  out[a, n] = sum_s sum_b vals[n,s,3a+b] * u[b, cols[n,s]]
+# 3x3-block ELL matvec:
+#   out[a, n] = sum_s sum_b vals[n, s, 3a+b] * u[b, cols[n, s]]
 #
-# Device layouts (Nt = n node tiles, S = ELL width):
-#   cols2 [Nt*S, 128] int32   cols2[t*S + s, l]       = column of node t*128+l
-#   vals2 [Nt*S*9, 128] f32   vals2[(t*S+s)*9+3a+b,l] = block entry (a,b)
-#   wblk  [Nt] int32          window base chunk (min col // 128) per tile
-#   u     [3, Np] f32         component-major input vector
-# Padding slots carry col = row's own node id and zero vals (inert).
+# Device layouts (Nt = node tiles, S = ELL width, ng = S/GROUP):
+#   cols2   [Nt*S, 128] int32     cols2[t*S + s, l] = column of node t*128+l
+#   vals2   [Nt*9*S, 128]         PLANE-major: row (t*9 + 3a+b)*S + s
+#   wblk    [Nt] int32            per-tile window base chunk
+#   gbounds [Nt, 1, 2*ng] int32   per-(tile, group) live chunk range
+#                                 [lo, hi] relative to wblk
+#   u       [3, Np]               component-major input vector
+# Padding slots repeat the row's LAST real column with zero vals (inert,
+# and they keep tail groups' windows tight).
 # ---------------------------------------------------------------------------
 
 
+def _grouped_gather(S, cols_ref, gb_ref, u_ref, base, kc, gacc_ref):  # noqa: gb_ref kept for ABI stability
+    """Shared inner stage: the whole vector sits in VMEM; for each live
+    (group, chunk) pair (scalar-bounds skip), dynamic-slice the 128-lane
+    chunk and gather G columns for all 3 components into the
+    component-major scratch gacc[a*S + s].
+
+    One grid step per node tile — no per-chunk grid dimension, so there
+    are no tiny per-step DMAs (the (Nt, kc)-grid variant measured ~0.8 us
+    of fixed cost per step, dominating the kernel)."""
+    ng = S // GROUP
+    for g in range(ng):
+        col8 = cols_ref[0, g * GROUP:(g + 1) * GROUP, :]
+
+        # NOTE: no dead-chunk skip — measured SLOWER than doing the full
+        # work (scalar branch cost > saved vector ops;
+        # tools/tpu_bell_ablate.py: noskip 0.296 ms vs skip 0.477 ms at
+        # 154k tets).  The chunk loop is a fori_loop, not a python
+        # unroll: transfer kernels can have kc in the hundreds, and the
+        # unrolled form blew Mosaic's scoped-VMEM stack (47 MB at the
+        # 1.23M-tet restrict).
+        def chunk_body(c, _, g=g, col8=col8):
+            off = (base + c) * LANES
+            chunk = u_ref[:, pl.ds(pl.multiple_of(off, LANES), LANES)]
+            rows = [jnp.broadcast_to(chunk[a:a + 1, :],
+                                     (GROUP, LANES)) for a in range(3)]
+            ug = jnp.concatenate(rows, axis=0)             # [3G, 128]
+            idx8 = col8 - off
+            inb8 = (jnp.clip(idx8 + 1, 0, 1)
+                    * jnp.clip(LANES - idx8, 0, 1)).astype(ug.dtype)
+            idxc8 = jnp.clip(idx8, 0, LANES - 1)
+            idx24 = jnp.concatenate([idxc8, idxc8, idxc8], axis=0)
+            g24 = jnp.take_along_axis(ug, idx24, axis=1,
+                                      mode="promise_in_bounds")
+            m24 = jnp.concatenate([inb8, inb8, inb8], axis=0)
+            t24 = g24 * m24
+            for a in range(3):
+                gacc_ref[a * S + g * GROUP:a * S + (g + 1) * GROUP, :] \
+                    += t24[a * GROUP:(a + 1) * GROUP, :]
+            return 0
+
+        jax.lax.fori_loop(0, kc, chunk_body, 0)
+
+
 def _bell_kernel(S: int, kc: int):
-    def kernel(wblk_ref, cols_ref, vals_ref, u_ref, out_ref, gacc_ref):
+    def kernel(wblk_ref, gb_ref, cols_ref, vals_ref, u_ref, out_ref,
+               gacc_ref):
         i = pl.program_id(0)
-        c = pl.program_id(1)
-
-        @pl.when(c == 0)
-        def _():
-            gacc_ref[:] = jnp.zeros_like(gacc_ref)
-
-        off = (wblk_ref[i] + c) * LANES
-        u_chunk = u_ref[:]                                   # [3, 128]
-        for s in range(S):
-            col = cols_ref[0, s:s + 1, :]                    # [1, 128] i32
-            idx = col - off
-            # arithmetic in-bounds mask: Mosaic cannot bitcast i1 vregs,
-            # so boolean concat/select shapes fail to compile
-            inb = (jnp.clip(idx + 1, 0, 1)
-                   * jnp.clip(LANES - idx, 0, 1)).astype(u_chunk.dtype)
-            idxc = jnp.clip(idx, 0, LANES - 1)
-            idx3 = jnp.concatenate([idxc, idxc, idxc], axis=0)
-            g3 = jnp.take_along_axis(u_chunk, idx3, axis=1,
-                                     mode="promise_in_bounds")
-            gacc_ref[3 * s:3 * s + 3, :] += g3 * inb
-
-        @pl.when(c == kc - 1)
-        def _():
-            acc9 = None
-            for s in range(S):
-                g3 = gacc_ref[3 * s:3 * s + 3, :]
-                g9 = jnp.concatenate([g3, g3, g3], axis=0)    # [9, 128]
-                v9 = vals_ref[0, 9 * s:9 * s + 9, :]
-                term = v9 * g9
-                acc9 = term if acc9 is None else acc9 + term
-            out_ref[:] = jnp.concatenate(
-                [acc9[0:1] + acc9[1:2] + acc9[2:3],
-                 acc9[3:4] + acc9[4:5] + acc9[5:6],
-                 acc9[6:7] + acc9[7:8] + acc9[8:9]], axis=0)
+        gacc_ref[:] = jnp.zeros_like(gacc_ref)
+        _grouped_gather(S, cols_ref, gb_ref, u_ref, wblk_ref[i], kc,
+                        gacc_ref)
+        # out[a] = sum_s sum_b vals[3a+b, s] * gacc[b*S + s]: three
+        # [S,128] elementwise products + one sublane reduction per a
+        outs = []
+        for a in range(3):
+            acc = None
+            for b in range(3):
+                v = vals_ref[0, (3 * a + b) * S:(3 * a + b + 1) * S, :]
+                gb_ = gacc_ref[b * S:(b + 1) * S, :]
+                term = v * gb_
+                acc = term if acc is None else acc + term
+            outs.append(jnp.sum(acc, axis=0, keepdims=True))
+        out_ref[:] = jnp.concatenate(outs, axis=0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("S", "kc", "interpret"))
 def bell_matvec_pallas(cols2: jnp.ndarray, vals2: jnp.ndarray,
-                       wblk: jnp.ndarray, u_cm: jnp.ndarray,
-                       S: int, kc: int,
+                       wblk: jnp.ndarray, gbounds: jnp.ndarray,
+                       u_cm: jnp.ndarray, S: int, kc: int,
                        interpret: bool = False) -> jnp.ndarray:
     """Raw (unconstrained, unmasked) block-ELL matvec in [3, Np] layout."""
     Nt = wblk.shape[0]
     Np = u_cm.shape[1]
+    ng2 = gbounds.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Nt, kc),
+        grid=(Nt,),
         in_specs=[
-            pl.BlockSpec((1, S, LANES), lambda i, c, w: (i, 0, 0),
+            pl.BlockSpec((1, 1, ng2), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S * 9, LANES), lambda i, c, w: (i, 0, 0),
+            pl.BlockSpec((1, 9 * S, LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, LANES), lambda i, c, w: (0, w[i] + c),
+            pl.BlockSpec((3, Np), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, LANES), lambda i, c, w: (0, i),
+        out_specs=pl.BlockSpec((3, LANES), lambda i, w: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_cdiv(3 * S, 8) * 8, LANES),
-                                   u_cm.dtype)],
+        scratch_shapes=[pltpu.VMEM((3 * S, LANES), u_cm.dtype)],
     )
     return pl.pallas_call(
         _bell_kernel(S, kc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, Np), u_cm.dtype),
         interpret=interpret,
-    )(wblk, cols2.reshape(Nt, S, LANES),
-      vals2.reshape(Nt, S * 9, LANES), u_cm)
+    )(wblk, gbounds, cols2.reshape(Nt, S, LANES),
+      vals2.reshape(Nt, 9 * S, LANES), u_cm)
 
 
 def bell_matvec_reference(cols2: jnp.ndarray, vals2: jnp.ndarray,
                           u_cm: jnp.ndarray, S: int) -> jnp.ndarray:
-    """Pure-jnp twin of :func:`bell_matvec_pallas` (CPU / parity tests)."""
+    """Pure-jnp twin of :func:`bell_matvec_pallas` (CPU / parity tests).
+
+    ``vals2`` is the plane-major layout [Nt*9*S, 128]."""
     Np = u_cm.shape[1]
     Nt = Np // LANES
     cols = cols2.reshape(Nt, S, LANES).transpose(1, 0, 2).reshape(S, Np)
-    vals = vals2.reshape(Nt, S, 9, LANES).transpose(1, 2, 0, 3) \
-        .reshape(S, 9, Np)
+    vals = vals2.reshape(Nt, 9, S, LANES).transpose(1, 2, 0, 3) \
+        .reshape(9, S, Np)
     out = jnp.zeros((3, Np), u_cm.dtype)
     for s in range(S):
         g = u_cm[:, cols[s]]                                  # [3, Np]
         for a in range(3):
-            out = out.at[a].add(vals[s, 3 * a + 0] * g[0]
-                                + vals[s, 3 * a + 1] * g[1]
-                                + vals[s, 3 * a + 2] * g[2])
+            out = out.at[a].add(vals[3 * a + 0, s] * g[0]
+                                + vals[3 * a + 1, s] * g[1]
+                                + vals[3 * a + 2, s] * g[2])
     return out
-
-
-# ---------------------------------------------------------------------------
-# Windowed variant: u fully VMEM-resident, per-(tile, slot) window bases.
-#
-# The (Nt, kc) chunk-scan grid above does S gathers per chunk even though
-# each slot's column lives in exactly one chunk — at beam-scale RCM
-# bandwidth (kc ~ 10-20) that is 10-20x wasted gather work.  When the
-# whole vector fits in VMEM (3*Np*4 B; ~2.6 MB at 666k dofs), this
-# variant dynamic-slices a per-slot window instead: S * KW gathers total.
-# ---------------------------------------------------------------------------
-
-
-def _bell_win_kernel(S: int, kw: int):
-    def kernel(sbase_ref, cols_ref, vals_ref, u_ref, out_ref):
-        acc9 = None
-        for s in range(S):
-            base = sbase_ref[0, 0, s] * LANES
-            win = u_ref[:, pl.ds(pl.multiple_of(base, LANES), kw * LANES)]
-            col = cols_ref[0, s:s + 1, :]
-            idx = col - base
-            g3 = None
-            for c in range(kw):
-                idxc = idx - c * LANES
-                inb = (jnp.clip(idxc + 1, 0, 1)
-                       * jnp.clip(LANES - idxc, 0, 1)).astype(win.dtype)
-                idxcc = jnp.clip(idxc, 0, LANES - 1)
-                idx3 = jnp.concatenate([idxcc, idxcc, idxcc], axis=0)
-                gc = jnp.take_along_axis(
-                    win[:, c * LANES:(c + 1) * LANES], idx3, axis=1,
-                    mode="promise_in_bounds")
-                term = gc * inb
-                g3 = term if g3 is None else g3 + term
-            g9 = jnp.concatenate([g3, g3, g3], axis=0)
-            v9 = vals_ref[0, 9 * s:9 * s + 9, :]
-            t9 = v9 * g9
-            acc9 = t9 if acc9 is None else acc9 + t9
-        out_ref[:] = jnp.concatenate(
-            [acc9[0:1] + acc9[1:2] + acc9[2:3],
-             acc9[3:4] + acc9[4:5] + acc9[5:6],
-             acc9[6:7] + acc9[7:8] + acc9[8:9]], axis=0)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("S", "kw", "interpret"))
-def bell_matvec_win_pallas(cols2: jnp.ndarray, vals2: jnp.ndarray,
-                           sbase: jnp.ndarray, u_cm: jnp.ndarray,
-                           S: int, kw: int,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Windowed block-ELL matvec: ``sbase`` [Nt, S] int32 per-slot window
-    base chunks; requires every (tile, slot)'s columns within kw chunks
-    of its base (pack_ell_rows computes/validates this)."""
-    Nt = sbase.shape[0]
-    Np = u_cm.shape[1]
-    return pl.pallas_call(
-        _bell_win_kernel(S, kw),
-        grid=(Nt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S * 9, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Np), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((3, LANES), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, Np), u_cm.dtype),
-        interpret=interpret,
-    )(sbase.reshape(Nt, 1, S), cols2.reshape(Nt, S, LANES),
-      vals2.reshape(Nt, S * 9, LANES), u_cm)
-
-
-def _sell_win_kernel(S: int, kw: int):
-    def kernel(sbase_ref, cols_ref, w_ref, u_ref, out_ref):
-        acc3 = None
-        for s in range(S):
-            base = sbase_ref[0, 0, s] * LANES
-            win = u_ref[:, pl.ds(pl.multiple_of(base, LANES), kw * LANES)]
-            col = cols_ref[0, s:s + 1, :]
-            idx = col - base
-            g3 = None
-            for c in range(kw):
-                idxc = idx - c * LANES
-                inb = (jnp.clip(idxc + 1, 0, 1)
-                       * jnp.clip(LANES - idxc, 0, 1)).astype(win.dtype)
-                idxcc = jnp.clip(idxc, 0, LANES - 1)
-                idx3 = jnp.concatenate([idxcc, idxcc, idxcc], axis=0)
-                gc = jnp.take_along_axis(
-                    win[:, c * LANES:(c + 1) * LANES], idx3, axis=1,
-                    mode="promise_in_bounds")
-                term = gc * inb
-                g3 = term if g3 is None else g3 + term
-            t3 = w_ref[0, s:s + 1, :] * g3
-            acc3 = t3 if acc3 is None else acc3 + t3
-        out_ref[:] = acc3
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("S", "kw", "interpret"))
-def sell_matvec_win_pallas(cols2: jnp.ndarray, w2: jnp.ndarray,
-                           sbase: jnp.ndarray, u_cm: jnp.ndarray,
-                           S: int, kw: int,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Windowed scalar-weight ELL apply (see bell_matvec_win_pallas)."""
-    Nt = sbase.shape[0]
-    Np = u_cm.shape[1]
-    return pl.pallas_call(
-        _sell_win_kernel(S, kw),
-        grid=(Nt,),
-        in_specs=[
-            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Np), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((3, LANES), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, Nt * LANES), u_cm.dtype),
-        interpret=interpret,
-    )(sbase.reshape(Nt, 1, S), cols2.reshape(Nt, S, LANES),
-      w2.reshape(Nt, S, LANES), u_cm)
 
 
 # ---------------------------------------------------------------------------
 # Scalar-weight ELL matvec (transfer operators P / P^T):
 #   out[a, n] = sum_s w[n, s] * u[a, cols[n, s]]
-# Same layouts with vals2 replaced by w2 [Nt*S, 128].
+# Same layouts with vals2 replaced by w2 [Nt*S, 128] (slot-major).
 # ---------------------------------------------------------------------------
 
 
 def _sell_kernel(S: int, kc: int):
-    def kernel(wblk_ref, cols_ref, w_ref, u_ref, out_ref, gacc_ref):
+    def kernel(wblk_ref, gb_ref, cols_ref, w_ref, u_ref, out_ref,
+               gacc_ref):
         i = pl.program_id(0)
-        c = pl.program_id(1)
-
-        @pl.when(c == 0)
-        def _():
-            gacc_ref[:] = jnp.zeros_like(gacc_ref)
-
-        off = (wblk_ref[i] + c) * LANES
-        u_chunk = u_ref[:]                                   # [3, 128]
-        for s in range(S):
-            col = cols_ref[0, s:s + 1, :]
-            idx = col - off
-            # arithmetic in-bounds mask: Mosaic cannot bitcast i1 vregs,
-            # so boolean concat/select shapes fail to compile
-            inb = (jnp.clip(idx + 1, 0, 1)
-                   * jnp.clip(LANES - idx, 0, 1)).astype(u_chunk.dtype)
-            idxc = jnp.clip(idx, 0, LANES - 1)
-            idx3 = jnp.concatenate([idxc, idxc, idxc], axis=0)
-            g3 = jnp.take_along_axis(u_chunk, idx3, axis=1,
-                                     mode="promise_in_bounds")
-            gacc_ref[3 * s:3 * s + 3, :] += g3 * inb
-
-        @pl.when(c == kc - 1)
-        def _():
-            acc3 = None
-            for s in range(S):
-                term = w_ref[0, s:s + 1, :] * gacc_ref[3 * s:3 * s + 3, :]
-                acc3 = term if acc3 is None else acc3 + term
-            out_ref[:] = acc3
+        gacc_ref[:] = jnp.zeros_like(gacc_ref)
+        _grouped_gather(S, cols_ref, gb_ref, u_ref, wblk_ref[i], kc,
+                        gacc_ref)
+        w = w_ref[0, :, :]                                   # [S, 128]
+        outs = [jnp.sum(w * gacc_ref[a * S:(a + 1) * S, :], axis=0,
+                        keepdims=True) for a in range(3)]
+        out_ref[:] = jnp.concatenate(outs, axis=0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("S", "kc", "interpret"))
 def sell_matvec_pallas(cols2: jnp.ndarray, w2: jnp.ndarray,
-                       wblk: jnp.ndarray, u_cm: jnp.ndarray,
-                       S: int, kc: int,
+                       wblk: jnp.ndarray, gbounds: jnp.ndarray,
+                       u_cm: jnp.ndarray, S: int, kc: int,
                        interpret: bool = False) -> jnp.ndarray:
     """Scalar-weight ELL apply: component-wise transfer (P or P^T rows).
 
     ``u_cm`` is [3, Np_src]; output is [3, Nt*128] over the target rows.
     """
     Nt = wblk.shape[0]
+    Np = u_cm.shape[1]
+    ng2 = gbounds.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Nt, kc),
+        grid=(Nt,),
         in_specs=[
-            pl.BlockSpec((1, S, LANES), lambda i, c, w: (i, 0, 0),
+            pl.BlockSpec((1, 1, ng2), lambda i, w: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, LANES), lambda i, c, w: (i, 0, 0),
+            pl.BlockSpec((1, S, LANES), lambda i, w: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, LANES), lambda i, c, w: (0, w[i] + c),
+            pl.BlockSpec((3, Np), lambda i, w: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, LANES), lambda i, c, w: (0, i),
+        out_specs=pl.BlockSpec((3, LANES), lambda i, w: (0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((_cdiv(3 * S, 8) * 8, LANES),
-                                   u_cm.dtype)],
+        scratch_shapes=[pltpu.VMEM((3 * S, LANES), u_cm.dtype)],
     )
     return pl.pallas_call(
         _sell_kernel(S, kc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3, Nt * LANES), u_cm.dtype),
         interpret=interpret,
-    )(wblk, cols2.reshape(Nt, S, LANES), w2.reshape(Nt, S, LANES),
-      u_cm)
+    )(wblk, gbounds, cols2.reshape(Nt, S, LANES),
+      w2.reshape(Nt, S, LANES), u_cm)
 
 
 def sell_matvec_reference(cols2: jnp.ndarray, w2: jnp.ndarray,
@@ -381,10 +278,13 @@ def pack_ell_rows(rows: np.ndarray, cols: np.ndarray, data: np.ndarray,
     """Sort triplets into fixed-width ELL rows + lane-major device arrays.
 
     ``data`` is [nnz, 3, 3] (block) or [nnz] (scalar).  Entries within a
-    row are sorted by column (tight gather windows).  Padding slots point
-    at the row's own clamped column with zero data.
+    row are sorted by column (tight gather windows); the slot count S is
+    padded to a multiple of GROUP.  Padding slots repeat the row's last
+    real column with zero data; fully-empty rows forward-fill from the
+    nearest preceding real row so lane padding never widens windows.
 
-    Returns dict with cols2, vals2/w2, wblk, S, kc, n_rows_p.
+    Returns dict with cols2, vals2 (plane-major for blocks, slot-major
+    for scalars), wblk, gbounds, S, kc, n_rows_p, n_cols_p.
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
@@ -392,6 +292,7 @@ def pack_ell_rows(rows: np.ndarray, cols: np.ndarray, data: np.ndarray,
     rows, cols, data = rows[order], cols[order], np.asarray(data)[order]
     counts = np.bincount(rows, minlength=n_rows)
     S = max(int(counts.max()) if n_rows else 1, 1)
+    S = _cdiv(S, GROUP) * GROUP
     Np = _cdiv(max(n_rows, 1), LANES) * LANES
     Nt = Np // LANES
     block = data.ndim == 3
@@ -403,50 +304,48 @@ def pack_ell_rows(rows: np.ndarray, cols: np.ndarray, data: np.ndarray,
     rr = np.repeat(np.arange(n_rows), counts)
     cols_full[rr, slot] = cols
     vals_full[rr, slot] = data
-    # inert padding: repeat the row's own FIRST real column (zero data) so
-    # padding slots never widen the per-(tile, slot) gather windows; empty
-    # rows (incl. lane padding) forward-fill from the nearest preceding
-    # real row — a constant fill (e.g. 0) would stretch the LAST tile's
-    # window across the whole array
     counts_p = np.zeros(Np, np.int64)
     counts_p[:n_rows] = counts
+    # padding fill: the row's LAST real column (tail slots stay tight);
+    # empty rows forward-fill from the nearest preceding real row
+    last_col = cols_full[np.arange(Np), np.maximum(counts_p - 1, 0)]
     has = counts_p > 0
     last_real = np.where(has, np.arange(Np), -1)
     np.maximum.accumulate(last_real, out=last_real)
-    fill = np.where(last_real >= 0,
-                    cols_full[np.maximum(last_real, 0), 0], 0)
+    fill = np.where(last_real >= 0, last_col[np.maximum(last_real, 0)], 0)
     pad_mask = np.arange(S)[None, :] >= counts_p[:, None]
     cols_full = np.where(pad_mask, fill[:, None], cols_full)
 
-    # per-tile windows (chunk-scan kernel)
+    # per-tile window (chunk-scan grid)
     ct = cols_full.reshape(Nt, LANES * S)
     cmin = ct.min(axis=1)
     cmax = ct.max(axis=1)
-    wblk = (cmin // LANES).astype(np.int32)
+    wblk = (cmin // LANES).astype(np.int64)
     kc = int(np.max(cmax // LANES - wblk)) + 1 if Nt else 1
     n_cols_p = _cdiv(max(n_cols, 1), LANES) * LANES
     kc = min(kc, n_cols_p // LANES)
     # keep every tile's kc-chunk window inside the padded source: a
     # clamped window still covers the tile's span (span <= kc chunks)
-    wblk = np.minimum(wblk, n_cols_p // LANES - kc).astype(np.int32)
+    wblk = np.minimum(wblk, n_cols_p // LANES - kc)
 
-    # per-(tile, slot) windows (windowed kernel): entries within a row are
-    # column-sorted, so one slot's 128 lanes span a narrow column band
-    cs = cols_full.reshape(Nt, LANES, S)
-    smin = cs.min(axis=1) // LANES                       # [Nt, S]
-    smax = cs.max(axis=1) // LANES
-    kw = int(np.max(smax - smin)) + 1 if Nt else 1
-    kw = min(kw, n_cols_p // LANES)
-    sbase = np.minimum(smin, n_cols_p // LANES - kw).astype(np.int32)
+    # per-(tile, group) live chunk ranges, relative to wblk
+    ng = S // GROUP
+    cg = cols_full.reshape(Nt, LANES, ng, GROUP)
+    glo = cg.min(axis=(1, 3)) // LANES - wblk[:, None]       # [Nt, ng]
+    ghi = cg.max(axis=(1, 3)) // LANES - wblk[:, None]
+    gbounds = np.stack([np.clip(glo, 0, kc - 1),
+                        np.clip(ghi, 0, kc - 1)], axis=2) \
+        .reshape(Nt, 1, 2 * ng).astype(np.int32)
 
     cols2 = cols_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
         .reshape(Nt * S, LANES).astype(np.int32)
     if block:
+        # plane-major: row (t*9 + 3a+b)*S + s
         vals2 = vals_full.reshape(Nt, LANES, S, 9) \
-            .transpose(0, 2, 3, 1).reshape(Nt * S * 9, LANES)
+            .transpose(0, 3, 2, 1).reshape(Nt * 9 * S, LANES)
     else:
         vals2 = vals_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
             .reshape(Nt * S, LANES)
-    return {"cols2": cols2, "vals2": vals2, "wblk": wblk,
-            "S": S, "kc": kc, "n_rows_p": Np,
-            "sbase": sbase, "kw": kw, "n_cols_p": n_cols_p}
+    return {"cols2": cols2, "vals2": vals2,
+            "wblk": wblk.astype(np.int32), "gbounds": gbounds,
+            "S": S, "kc": kc, "n_rows_p": Np, "n_cols_p": n_cols_p}
