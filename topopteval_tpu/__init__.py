@@ -36,6 +36,7 @@ from .api import (Problem, SolveResult, setup_problem,
 
 # boundary selection (reference: SelectNodesForBC)
 from .fem.bc import (select_nodes_by_plane, select_nodes_by_circle,
+                     select_nodes_by_set,
                      nodes_at_plane, extract_surface, DirichletBC,
                      free_mask_from_bcs)
 
@@ -74,7 +75,8 @@ __all__ = [
     "apply_fixed_boundary", "apply_sliding_boundary", "apply_force",
     "solve_system", "solve_system_simp", "solve_system_adaptive",
     "solve_system_robust", "solve_system_robust_simp",
-    "select_nodes_by_plane", "select_nodes_by_circle", "nodes_at_plane",
+    "select_nodes_by_plane", "select_nodes_by_circle",
+    "select_nodes_by_set", "nodes_at_plane",
     "extract_surface", "DirichletBC", "free_mask_from_bcs",
     "apply_volume_force", "apply_gravity", "apply_acceleration",
     "apply_variable_density_volume_force", "get_boundary_facets",

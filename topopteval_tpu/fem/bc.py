@@ -116,6 +116,19 @@ def select_nodes_by_plane(mesh: Mesh, point: Sequence[float],
     return sel
 
 
+def select_nodes_by_set(mesh: Mesh, name: str) -> np.ndarray:
+    """Nodes of a NAMED set imported with the mesh (e.g. a gmsh physical
+    surface group).  FerriteGmsh carries $PhysicalNames groups through
+    ``togrid`` as named sets usable for BC selection (reference:
+    MeshImport.jl:28); io/gmsh.py stores them on Mesh.nodesets."""
+    try:
+        return np.asarray(mesh.nodesets[name], dtype=np.int64)
+    except KeyError:
+        raise KeyError(
+            f"mesh has no nodeset {name!r}; available: "
+            f"{sorted(mesh.nodesets)}") from None
+
+
 def select_nodes_by_circle(mesh: Mesh, center: Sequence[float],
                            normal: Sequence[float], radius: float,
                            tolerance: float = 1.0) -> np.ndarray:

@@ -4,12 +4,20 @@ TPU-native replacement for the reference's FerriteGmsh dependency
 (reference: src/MeshImport/MeshImport.jl:28 ``FerriteGmsh.togrid``, which
 reads both ASCII and binary): parses the two common MSH formats into the
 same homogeneous dominant-type :class:`..mesh.Mesh` the VTU path
-produces, importing physical-group cell sets.
+produces, importing:
+
+- **named physical groups** ($PhysicalNames): dominant-type groups
+  become NAMED cellsets (plus the ``cellset_<tag>`` numeric aliases);
+- **lower-dimensional physical groups** (surface tri/quad, curve line
+  elements): retained as NAMED nodesets usable for BC selection via
+  ``fem.bc.select_nodes_by_set`` — FerriteGmsh semantics;
+- density-free geometry with vectorized (numpy ``fromstring``-based)
+  ASCII parsing: a 1M-element .msh imports in seconds, not minutes.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -25,6 +33,16 @@ _GMSH_TYPES = {
     5: "hex8",
     11: "tet10",
 }
+
+#: topological dimension per our element type
+_TYPE_DIM = {"line2": 1, "tri3": 2, "quad4": 2, "tet4": 3, "hex8": 3,
+             "tet10": 3}
+
+#: gmsh canonical node counts (for record-skipping of unsupported types)
+_GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
+                8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
+
+_SOLID = ("tet4", "hex8", "tet10")
 
 
 def _read_sections(path: str) -> Dict[str, List[str]]:
@@ -43,6 +61,33 @@ def _read_sections(path: str) -> Dict[str, List[str]]:
     return sections
 
 
+def _parse_physical_names(lines: List[str]) -> Dict[Tuple[int, int], str]:
+    """$PhysicalNames body → {(dim, tag): name}."""
+    out: Dict[Tuple[int, int], str] = {}
+    if not lines:
+        return out
+    n = int(lines[0])
+    for ln in lines[1: 1 + n]:
+        parts = ln.split(None, 2)
+        if len(parts) < 3:
+            continue
+        out[(int(parts[0]), int(parts[1]))] = parts[2].strip().strip('"')
+    return out
+
+
+def _ints(lines: List[str]) -> np.ndarray:
+    """Vectorized decode of whitespace-separated integers."""
+    if not lines:
+        return np.zeros(0, np.int64)
+    return np.fromstring(" ".join(lines), dtype=np.int64, sep=" ")
+
+
+def _floats(lines: List[str]) -> np.ndarray:
+    if not lines:
+        return np.zeros(0, np.float64)
+    return np.fromstring(" ".join(lines), dtype=np.float64, sep=" ")
+
+
 def read_msh_mesh(path: str) -> Mesh:
     with open(path, "rb") as fh:
         head = fh.read(256)
@@ -53,69 +98,121 @@ def read_msh_mesh(path: str) -> Mesh:
     version = float(fmt_line[0])
     binary = fmt_line[1] != b"0"
     if binary:
-        coords, id_map, elems = (_parse_v4_binary(path) if version >= 4.0
-                                 else _parse_v2_binary(path))
+        coords, ids, elems, names = (_parse_v4_binary(path)
+                                     if version >= 4.0
+                                     else _parse_v2_binary(path))
     else:
         sec = _read_sections(path)
+        names = _parse_physical_names(sec.get("PhysicalNames", []))
         if version >= 4.0:
-            coords, id_map, elems = _parse_v4(sec)
+            coords, ids, elems = _parse_v4(sec)
         else:
-            coords, id_map, elems = _parse_v2(sec)
+            coords, ids, elems = _parse_v2(sec)
+
+    # gmsh node id → 0-based index lookup table
+    ids = np.asarray(ids, np.int64)
+    lut = np.full(int(ids.max()) + 1 if ids.size else 1, -1, np.int64)
+    lut[ids] = np.arange(ids.size)
 
     # dominant-type rule, matching the VTU path (MeshImport.jl:92-121)
     counts = {t: len(v) for t, (v, _) in elems.items()}
-    solid = {t: c for t, c in counts.items() if t in ("tet4", "hex8",
-                                                      "tet10")}
+    solid = {t: c for t, c in counts.items() if t in _SOLID}
     pool = solid or counts
     if not pool:
         raise ValueError("No supported cell types found in the mesh")
     etype = max(pool, key=pool.get)
     conn_raw, tags = elems[etype]
-    conn = np.array([[id_map[n] for n in row] for row in conn_raw],
-                    dtype=np.int32)
+    conn = lut[np.asarray(conn_raw, np.int64)].astype(np.int32)
 
+    dom_dim = _TYPE_DIM[etype]
     cellsets: Dict[str, np.ndarray] = {}
     tags = np.asarray(tags)
     for tag in np.unique(tags):
         members = np.flatnonzero(tags == tag)
         if members.size:
             cellsets[f"cellset_{int(tag)}"] = members
+            name = names.get((dom_dim, int(tag)))
+            if name:
+                cellsets[name] = members
 
-    mesh = Mesh(coords, conn, etype, cellsets=cellsets)
+    # lower-dimensional element blocks → named node sets (surface/curve
+    # physical groups; FerriteGmsh keeps these as facesets/nodesets)
+    nodesets: Dict[str, np.ndarray] = {}
+    for t2, (conn2, tags2) in elems.items():
+        if t2 == etype or not len(conn2):
+            continue
+        c2 = lut[np.asarray(conn2, np.int64)]
+        t2_dim = _TYPE_DIM[t2]
+        tags2 = np.asarray(tags2)
+        for tag in np.unique(tags2):
+            sel = tags2 == tag
+            nodes = np.unique(c2[sel])
+            nodes = nodes[nodes >= 0]
+            if not nodes.size:
+                continue
+            name = names.get((t2_dim, int(tag)),
+                             f"{t2}_set_{int(tag)}")
+            prev = nodesets.get(name)
+            nodesets[name] = (nodes if prev is None
+                              else np.union1d(prev, nodes))
+
+    mesh = Mesh(coords, conn, etype, cellsets=cellsets,
+                nodesets=nodesets)
     log(f"Mesh imported successfully: {mesh.n_nodes} nodes, "
-        f"{mesh.n_cells} elements")
+        f"{mesh.n_cells} elements"
+        + (f", {len(nodesets)} named node set(s)" if nodesets else ""))
     return mesh
 
 
-def _parse_v2(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
+def _parse_v2(sec):
+    """v2.2 ASCII: vectorized — one fromstring over each section, then a
+    light integer walk over record headers (the only per-record python
+    work; node lists are sliced with one fancy index per type)."""
     lines = sec["Nodes"]
     n = int(lines[0])
-    ids = np.empty(n, dtype=np.int64)
-    coords = np.empty((n, 3))
-    for i, ln in enumerate(lines[1: 1 + n]):
-        parts = ln.split()
-        ids[i] = int(parts[0])
-        coords[i] = [float(parts[1]), float(parts[2]), float(parts[3])]
-    id_map = {int(g): i for i, g in enumerate(ids)}
+    arr = _floats(lines[1: 1 + n]).reshape(n, 4)
+    ids = arr[:, 0].astype(np.int64)
+    coords = np.ascontiguousarray(arr[:, 1:4])
 
     elines = sec["Elements"]
     ne = int(elines[0])
-    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
-    for ln in elines[1: 1 + ne]:
-        parts = [int(x) for x in ln.split()]
-        _, gtype, ntags = parts[0], parts[1], parts[2]
-        etype = _GMSH_TYPES.get(gtype)
+    flat = _ints(elines[1: 1 + ne])
+    starts = np.empty(ne, np.int64)
+    gtypes = np.empty(ne, np.int64)
+    ntags_a = np.empty(ne, np.int64)
+    p = 0
+    for i in range(ne):
+        g = flat[p + 1]
+        nt = flat[p + 2]
+        starts[i] = p
+        gtypes[i] = g
+        ntags_a[i] = nt
+        k = _GMSH_NNODES.get(int(g))
+        if k is None:
+            raise NotImplementedError(f".msh: unknown element type {g}")
+        p += 3 + nt + k
+    elems: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for g in np.unique(gtypes):
+        etype = _GMSH_TYPES.get(int(g))
         if etype is None:
-            print_warning(f"Unsupported GMSH element type: {gtype}, skipping")
+            print_warning(f"Unsupported GMSH element type: {int(g)}, "
+                          "skipping")
             continue
-        phys = parts[3] if ntags >= 1 else 0
-        nodes = parts[3 + ntags:]
-        if len(nodes) != NODES_PER_CELL[etype]:
-            continue
-        conn, tags = elems.setdefault(etype, ([], []))
-        conn.append(nodes)
-        tags.append(phys)
-    return coords, id_map, elems
+        k = NODES_PER_CELL[etype]
+        for nt in np.unique(ntags_a[gtypes == g]):
+            sel = (gtypes == g) & (ntags_a == nt)
+            s = starts[sel]
+            nodes = flat[s[:, None] + 3 + int(nt)
+                         + np.arange(k)[None, :]]
+            phys = (flat[s + 3] if nt >= 1
+                    else np.zeros(sel.sum(), np.int64))
+            prev = elems.get(etype)
+            if prev is None:
+                elems[etype] = (nodes, phys)
+            else:
+                elems[etype] = (np.concatenate([prev[0], nodes]),
+                                np.concatenate([prev[1], phys]))
+    return coords, ids, elems
 
 
 def _parse_entities_v4(sec) -> Dict[Tuple[int, int], int]:
@@ -143,32 +240,31 @@ def _parse_entities_v4(sec) -> Dict[Tuple[int, int], int]:
     return phys
 
 
-def _parse_v4(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
+def _parse_v4(sec):
+    """v4.1 ASCII: block-uniform records → one fromstring + reshape per
+    block (vectorized)."""
     lines = sec["Nodes"]
     head = lines[0].split()
-    num_blocks, total = int(head[0]), int(head[1])
-    ids: List[int] = []
-    coords: List[List[float]] = []
+    num_blocks = int(head[0])
+    ids_l: List[np.ndarray] = []
+    coords_l: List[np.ndarray] = []
     i = 1
     for _ in range(num_blocks):
         _, _, _, n_in_block = (int(x) for x in lines[i].split())
         i += 1
-        block_ids = [int(lines[i + j]) for j in range(n_in_block)]
+        ids_l.append(_ints(lines[i: i + n_in_block]))
         i += n_in_block
-        for j in range(n_in_block):
-            parts = lines[i + j].split()
-            coords.append([float(parts[0]), float(parts[1]),
-                           float(parts[2])])
+        coords_l.append(_floats(lines[i: i + n_in_block])
+                        .reshape(n_in_block, 3))
         i += n_in_block
-        ids.extend(block_ids)
-    coords_arr = np.asarray(coords)
-    id_map = {g: k for k, g in enumerate(ids)}
+    coords = (np.concatenate(coords_l) if coords_l
+              else np.zeros((0, 3)))
+    ids = (np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64))
 
     phys_map = _parse_entities_v4(sec)
     elines = sec["Elements"]
-    head = elines[0].split()
-    num_blocks = int(head[0])
-    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
+    num_blocks = int(elines[0].split()[0])
+    elems: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     i = 1
     for _ in range(num_blocks):
         entity_dim, entity_tag, gtype, n_in_block = (
@@ -176,19 +272,26 @@ def _parse_v4(sec) -> Tuple[np.ndarray, Dict[int, int], Dict]:
         i += 1
         etype = _GMSH_TYPES.get(gtype)
         if etype is None:
-            print_warning(f"Unsupported GMSH element type: {gtype}, skipping")
+            print_warning(f"Unsupported GMSH element type: {gtype}, "
+                          "skipping")
             i += n_in_block
             continue
+        k = NODES_PER_CELL[etype]
+        block = _ints(elines[i: i + n_in_block]).reshape(n_in_block,
+                                                         1 + k)
+        i += n_in_block
         # key cell sets by the physical group; fall back to the geometric
         # entity tag when no physical group is attached
         tag = phys_map.get((entity_dim, entity_tag), entity_tag)
-        conn, tags = elems.setdefault(etype, ([], []))
-        for j in range(n_in_block):
-            parts = [int(x) for x in elines[i + j].split()]
-            conn.append(parts[1:])
-            tags.append(tag)
-        i += n_in_block
-    return coords_arr, id_map, elems
+        nodes = block[:, 1:]
+        phys = np.full(n_in_block, tag, np.int64)
+        prev = elems.get(etype)
+        if prev is None:
+            elems[etype] = (nodes, phys)
+        else:
+            elems[etype] = (np.concatenate([prev[0], nodes]),
+                            np.concatenate([prev[1], phys]))
+    return coords, ids, elems
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +318,16 @@ def _read_line(blob: bytes, pos: int):
     return blob[pos:end].decode().strip(), end + 1
 
 
+def _names_from_blob(blob: bytes) -> Dict[Tuple[int, int], str]:
+    """$PhysicalNames is ASCII text even in binary files."""
+    span = _find_section(blob, "PhysicalNames")
+    if span is None:
+        return {}
+    text = blob[span[0]:span[1]].decode(errors="replace")
+    return _parse_physical_names(
+        [ln.strip() for ln in text.splitlines() if ln.strip()])
+
+
 def _parse_v2_binary(path: str):
     """MSH 2.2 file-type=1: ASCII section headers, binary records
     (int32 ids/tags, float64 coords), native endianness verified via the
@@ -231,21 +344,18 @@ def _parse_v2_binary(path: str):
     rec = np.dtype([("id", sw + "i4"), ("xyz", sw + "f8", 3)])
     nodes = np.frombuffer(blob, rec, n, pos)
     coords = np.ascontiguousarray(nodes["xyz"], dtype=np.float64)
-    id_map = {int(g): i for i, g in enumerate(nodes["id"])}
+    ids = nodes["id"].astype(np.int64)
 
     s, e = _find_section(blob, "Elements")
     line, pos = _read_line(blob, s)
     ne = int(line)
-    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
+    elems: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     read = 0
     while read < ne and pos < e:
         gtype, nfollow, ntags = np.frombuffer(blob, sw + "i4", 3, pos)
         pos += 12
         etype = _GMSH_TYPES.get(int(gtype))
         npc = NODES_PER_CELL.get(etype, 0)
-        # gmsh canonical node counts for skipped types
-        _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
-                        8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
         k = npc or _GMSH_NNODES.get(int(gtype))
         if k is None:
             raise NotImplementedError(
@@ -260,13 +370,16 @@ def _parse_v2_binary(path: str):
             print_warning(
                 f"Unsupported GMSH element type: {int(gtype)}, skipping")
             continue
-        conn, tags = elems.setdefault(etype, ([], []))
-        phys = (data[:, 1] if ntags >= 1
+        phys = (data[:, 1].astype(np.int64) if ntags >= 1
                 else np.zeros(int(nfollow), np.int64))
-        for row, p in zip(data[:, 1 + int(ntags):], phys):
-            conn.append([int(x) for x in row])
-            tags.append(int(p))
-    return coords, id_map, elems
+        nodes_b = data[:, 1 + int(ntags):].astype(np.int64)
+        prev = elems.get(etype)
+        if prev is None:
+            elems[etype] = (nodes_b, phys)
+        else:
+            elems[etype] = (np.concatenate([prev[0], nodes_b]),
+                            np.concatenate([prev[1], phys]))
+    return coords, ids, elems, _names_from_blob(blob)
 
 
 def _parse_v4_binary(path: str):
@@ -305,28 +418,25 @@ def _parse_v4_binary(path: str):
     pos = s
     nblocks, total = (int(x) for x in np.frombuffer(blob, szt, 2, pos))
     pos += 4 * dsize
-    ids: List[int] = []
+    ids_l: List[np.ndarray] = []
     coords_l: List[np.ndarray] = []
     for _ in range(nblocks):
-        _, _, _, nin = (int(np.frombuffer(blob, i4, 1, pos)[0]),
-                        int(np.frombuffer(blob, i4, 1, pos + 4)[0]),
-                        int(np.frombuffer(blob, i4, 1, pos + 8)[0]),
-                        int(np.frombuffer(blob, szt, 1, pos + 12)[0]))
+        nin = int(np.frombuffer(blob, szt, 1, pos + 12)[0])
         pos += 12 + dsize
-        ids.extend(int(x) for x in np.frombuffer(blob, szt, nin, pos))
+        ids_l.append(np.frombuffer(blob, szt, nin, pos).astype(np.int64))
         pos += nin * dsize
         coords_l.append(np.frombuffer(blob, sw + "f8", 3 * nin,
                                       pos).reshape(nin, 3))
         pos += nin * 24
     coords = (np.concatenate(coords_l) if coords_l
               else np.zeros((0, 3)))
-    id_map = {g: i for i, g in enumerate(ids)}
+    ids = (np.concatenate(ids_l) if ids_l else np.zeros(0, np.int64))
 
     s, e = _find_section(blob, "Elements")
     pos = s
     nblocks, total = (int(x) for x in np.frombuffer(blob, szt, 2, pos))
     pos += 4 * dsize
-    elems: Dict[str, Tuple[List[List[int]], List[int]]] = {}
+    elems: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for _ in range(nblocks):
         edim = int(np.frombuffer(blob, i4, 1, pos)[0])
         etag = int(np.frombuffer(blob, i4, 1, pos + 4)[0])
@@ -334,8 +444,6 @@ def _parse_v4_binary(path: str):
         nin = int(np.frombuffer(blob, szt, 1, pos + 12)[0])
         pos += 12 + dsize
         etype = _GMSH_TYPES.get(gtype)
-        _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
-                        8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
         k = NODES_PER_CELL.get(etype) or _GMSH_NNODES.get(gtype)
         if k is None:
             raise NotImplementedError(
@@ -348,8 +456,12 @@ def _parse_v4_binary(path: str):
                 f"Unsupported GMSH element type: {gtype}, skipping")
             continue
         tag = phys_map.get((edim, etag), etag)
-        conn, tags = elems.setdefault(etype, ([], []))
-        for row in data[:, 1:]:
-            conn.append([int(x) for x in row])
-            tags.append(tag)
-    return coords, id_map, elems
+        nodes_b = data[:, 1:].astype(np.int64)
+        phys = np.full(nin, tag, np.int64)
+        prev = elems.get(etype)
+        if prev is None:
+            elems[etype] = (nodes_b, phys)
+        else:
+            elems[etype] = (np.concatenate([prev[0], nodes_b]),
+                            np.concatenate([prev[1], phys]))
+    return coords, ids, elems, _names_from_blob(blob)

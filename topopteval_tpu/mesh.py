@@ -200,6 +200,10 @@ class Mesh:
     density : optional per-cell density field
     cellsets : optional mapping name -> cell-index array (reference imports
         these from VTU cell-data fields, MeshImport.jl:129-150)
+    nodesets : optional mapping name -> node-index array (named physical
+        surface groups from .msh imports — FerriteGmsh carries these
+        through togrid, MeshImport.jl:28; usable for BC selection via
+        fem.bc.select_nodes_by_set)
     """
 
     def __init__(
@@ -209,6 +213,7 @@ class Mesh:
         element_type: str,
         density: Optional[np.ndarray] = None,
         cellsets: Optional[Dict[str, np.ndarray]] = None,
+        nodesets: Optional[Dict[str, np.ndarray]] = None,
     ):
         coords = np.ascontiguousarray(coords, dtype=np.float64)
         if coords.ndim != 2 or coords.shape[1] != DIM:
@@ -232,6 +237,7 @@ class Mesh:
                 f"density length ({len(self.density)}) does not match "
                 f"number of cells ({len(conn)})")
         self.cellsets: Dict[str, np.ndarray] = dict(cellsets or {})
+        self.nodesets: Dict[str, np.ndarray] = dict(nodesets or {})
         self._surface_cache = None  # lazy (reference: SelectNodesForBC.jl:30-38)
         #: set by models/beams.py generators: {"dims": (nx,ny,nz), "lo", "hi"}
         #: — enables the stencil-operator/multigrid fast path in solve_system
@@ -296,7 +302,7 @@ class Mesh:
         mid_ids = (self.n_nodes + inverse).reshape(self.n_cells, 6)
         conn10 = np.hstack([self.conn, mid_ids]).astype(np.int32)
         return Mesh(new_coords, conn10, "tet10", density=self.density,
-                    cellsets=self.cellsets)
+                    cellsets=self.cellsets, nodesets=self.nodesets)
 
     # -- device transfer ----------------------------------------------------
 
