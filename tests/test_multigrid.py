@@ -137,3 +137,57 @@ def test_host_builders_match_device():
             rtol=1e-10, atol=1e-12)
     # symmetric + SPD on free dofs
     np.testing.assert_allclose(K_host, K_host.T, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# coarsest-level eigencut (gap-based pseudo-inverse)
+# ---------------------------------------------------------------------------
+
+
+def test_coarse_pinv_weights_keeps_low_physics():
+    """Slender-beam shape: junk cluster at 1e-16, bending physics at
+    1e-8..1e-6 relative.  The old fixed fp32 cutoff (1e-6) zeroed the
+    physics; the gap cut must keep it while still zeroing the junk."""
+    from topopteval_tpu.fem.multigrid import coarse_pinv_weights
+    lam_max = 1.0e4
+    junk = np.full(168, 1e-16) * lam_max
+    physics = np.array([2e-8, 6e-7]) * lam_max
+    bulk = np.linspace(1e-3, 1.0, 50) * lam_max
+    evals = np.concatenate([junk, physics, bulk])
+    w = coarse_pinv_weights(evals, jnp.float32)
+    assert np.all(w[:168] == 0.0)                         # junk zeroed
+    np.testing.assert_allclose(w[168:170], 1.0 / physics)  # physics kept
+    np.testing.assert_allclose(w[170:], 1.0 / bulk)
+
+
+def test_coarse_pinv_weights_continuum_falls_back():
+    """SIMP void-mode continuum (no clean gap): fall back to the legacy
+    fixed ceiling — the behavior that fixed the porous-fixture stall."""
+    from topopteval_tpu.fem.multigrid import coarse_pinv_weights
+    lam_max = 1.0
+    low = np.logspace(-14, -6.2, 40)   # dense, max ratio ~ 1.6 < 1e3
+    bulk = np.linspace(1e-4, 1.0, 20)
+    evals = np.concatenate([low, bulk])
+    w = coarse_pinv_weights(evals, jnp.float32)
+    assert np.all(w[:40] == 0.0)                    # all below 1e-6 cut
+    np.testing.assert_allclose(w[40:], 1.0 / bulk)
+
+
+def test_coarse_pinv_weights_full_rank_keeps_all():
+    """No numerical zeros at all: the operator is honestly invertible,
+    the exact inverse is the ideal coarse solve — keep every mode."""
+    from topopteval_tpu.fem.multigrid import coarse_pinv_weights
+    evals = np.concatenate([[3e-8, 4e-7], np.linspace(1e-4, 1.0, 20)])
+    w = coarse_pinv_weights(evals, jnp.float32)
+    np.testing.assert_allclose(w, 1.0 / evals)
+    # fp64 ceiling branch: same outcome
+    w64 = coarse_pinv_weights(evals, jnp.float64)
+    np.testing.assert_allclose(w64, 1.0 / evals)
+
+
+def test_coarse_pinv_weights_negative_and_zero_modes():
+    from topopteval_tpu.fem.multigrid import coarse_pinv_weights
+    evals = np.array([-1e-3, 0.0, 1e-16, 0.5, 1.0])
+    w = coarse_pinv_weights(evals, jnp.float32)
+    assert np.all(w[:3] == 0.0)
+    np.testing.assert_allclose(w[3:], [2.0, 1.0])

@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 TABLE = os.path.join(REPO, "data", "oracle_energies.json")
 
 
-def compute(scale: int) -> float:
+def compute(scale: int, order: int = 1) -> float:
     from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
                                     assemble_stiffness_matrix,
                                     setup_problem, solve_system)
@@ -45,7 +45,12 @@ def compute(scale: int) -> float:
     lam, mu = lame_parameters(1.0, 0.3)
     mesh = generate_grid_tet(nx, ny, nz, (0.0, 0.0, 0.0),
                              (60.0, 20.0, 4.0))
-    problem = setup_problem(mesh, dtype=jnp.float64)
+    if order == 2:
+        # tet10 path: drop the structured provenance so the solve uses
+        # the general operator (matches bench.py's tet10 entry)
+        mesh.structured_info = None
+    problem = setup_problem(mesh, interpolation_order=order,
+                            dtype=jnp.float64)
     assemble_stiffness_matrix(problem, lam, mu)
     apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
     apply_force(problem, nodes_at_plane(mesh, 0, 60.0), [0.0, 0.0, -1.0])

@@ -453,6 +453,59 @@ def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
                         res.converged, history)
 
 
+def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
+                chunk=0, record_history=False, max_passes=6):
+    """Mixed-precision iterative refinement around the fp32 MG-PCG.
+
+    fp32 CG cannot converge the lowest eigenmodes of an ill-conditioned
+    system: their residual signature (lambda_low * err) sinks below the
+    fp32 matvec rounding noise (~eps32*||K||*||u||), so e.g. a slender
+    beam's bending amplitude — 97% of the strain energy — freezes at
+    the V-cycle's one-shot approximation quality (reference gets fp64
+    throughout from CHOLMOD, FiniteElementAnalysis.jl:547).  Refinement
+    restores fp64-grade accuracy at fp32 speed: each pass evaluates the
+    TRUE residual with the exact hi/lo-split host matvec
+    (BellSystem.matvec64), rescales it to unit norm, and solves the
+    correction system with the same compiled fp32 MG-PCG program.
+    Measured contraction ~400x/pass (tools/host_bell_validate.py).
+    Returns (x64, total_iters, true_rnorm, converged, history, passes).
+    """
+    rn0 = float(np.linalg.norm(f64))
+    eps = tol + tol * rn0                      # Krylov.jl-style criterion
+    x64 = np.zeros_like(f64) if x0_64 is None else np.asarray(
+        x0_64, np.float64)
+    total = 0
+    hists = []
+    rn = rn0
+    dtype = op_jit.free_mask.dtype
+    for p in range(max_passes):
+        r64 = f64 - system.matvec64(x64)
+        rn = float(np.linalg.norm(r64))
+        if rn <= eps or total >= maxiter:
+            break
+        s = rn
+        rhs = jnp.asarray(r64 / s, dtype)
+        # the OUTER criterion uses the exact fp64 residual, so it honors
+        # tolerances the fp32 inner iteration cannot certify itself
+        inner_tol = max(tol, 1e-6)
+        res = _chunked_cg(op_jit, rhs, M, inner_tol, maxiter - total,
+                          chunk=chunk, record_history=record_history)
+        n = int(res.niter)
+        if n == 0:
+            break
+        x64 = x64 + s * np.asarray(res.x, np.float64)
+        total += n
+        if record_history and res.history is not None:
+            h = np.asarray(res.history)[: n + 1] * s
+            hists.append(h if not hists else h[1:])
+    else:
+        r64 = f64 - system.matvec64(x64)
+        rn = float(np.linalg.norm(r64))
+    history = (jnp.asarray(np.concatenate(hists))
+               if record_history and hists else None)
+    return x64, total, rn, rn <= eps, history
+
+
 def solve_system(problem: Problem,
                  config: Optional[SolverConfig] = None,
                  x0: Optional[np.ndarray] = None) -> SolveResult:
@@ -491,8 +544,11 @@ def solve_system(problem: Problem,
     f_dev = f_dev * op.free_mask           # zero prescribed values
 
     # fp32 cannot reach fp64-grade residuals: clamp the iterative tolerance
-    # so a throughput-dtype solve converges instead of burning max_iterations
+    # so a throughput-dtype solve converges instead of burning
+    # max_iterations.  The BELL path is exempt: its mixed-precision
+    # refinement loop certifies convergence on exact fp64 residuals.
     if (method != "direct" and jnp.dtype(problem.dtype) == jnp.float32
+            and not (is_cm and M_mg is not None)
             and config.tolerance < 1e-6):
         log(f"Note: clamping tolerance {config.tolerance:g} -> 1e-6 for "
             "float32 compute")
@@ -501,6 +557,7 @@ def solve_system(problem: Problem,
     log("Solving linear system...")
     t0 = time.perf_counter()
     history = None
+    energy64 = None         # fp64 energy from the refined BELL path
 
     def _host_direct():
         """fp64 host solve in the PUBLIC interleaved layout (works under
@@ -531,15 +588,32 @@ def solve_system(problem: Problem,
         # multigrid iterations are heavy: default to watchdog-safe chunks
         chunk = config.chunk_iterations or (50 if M_mg is not None else 0)
         op_jit = op.matrix if is_cm else op   # jittable pytree operator
-        res = _chunked_cg(op_jit, f_dev, M, config.tolerance,
-                          config.max_iterations, x0=x0_dev, chunk=chunk,
-                          record_history=config.history)
-        u = res.x
-        niter = int(res.niter)
-        rnorm = float(res.residual_norm)
-        conv = bool(res.converged)
-        history = (np.asarray(res.history)[: niter + 1]
-                   if res.history is not None else None)
+        if is_cm and jnp.dtype(problem.dtype) == jnp.float32:
+            # BELL path: fp32 MG-PCG inside mixed-precision iterative
+            # refinement (exact fp64 residuals via the hi/lo split)
+            mask64 = np.asarray(op_jit.free_mask, np.float64)
+            f64 = op.to_cm(np.asarray(problem.f)) * mask64
+            x0_64 = None
+            if x0 is not None:
+                x0_64 = op.to_cm(np.asarray(x0)[:n]) * mask64
+            x64, niter, rnorm, conv, history = _refined_cg(
+                op, op_jit, M, f64, config.tolerance,
+                config.max_iterations, x0_64=x0_64, chunk=chunk,
+                record_history=config.history)
+            u = jnp.asarray(x64, problem.dtype)
+            energy64 = 0.5 * float(x64 @ f64)
+            if history is not None:
+                history = np.asarray(history)
+        else:
+            res = _chunked_cg(op_jit, f_dev, M, config.tolerance,
+                              config.max_iterations, x0=x0_dev,
+                              chunk=chunk, record_history=config.history)
+            u = res.x
+            niter = int(res.niter)
+            rnorm = float(res.residual_norm)
+            conv = bool(res.converged)
+            history = (np.asarray(res.history)[: niter + 1]
+                       if res.history is not None else None)
         if config.verbose:
             from .fem.robust import print_convergence_report
             print_convergence_report(config, "cg(multigrid)", niter, rnorm,
@@ -592,7 +666,9 @@ def solve_system(problem: Problem,
                 conv = False
 
     with timer.phase("postprocess"):
-        energy = float(op.energy(u))
+        # the refined path's fp64 energy (0.5 u.f with exact residual
+        # control) supersedes the fp32 device evaluation
+        energy = energy64 if energy64 is not None else float(op.energy(u))
         if is_cm:
             # back to the public interleaved DOF layout for stress/export
             u = jnp.asarray(op.to_il(np.asarray(u)), problem.dtype)

@@ -41,7 +41,7 @@ from ..ops.pallas_bsr import (LANES, bell_matvec_pallas,
                               bell_matvec_reference, pack_ell_rows,
                               sell_matvec_pallas, sell_matvec_reference)
 
-_HIER_VERSION = 3     # bump to invalidate on-disk hierarchy caches
+_HIER_VERSION = 4     # bump to invalidate on-disk hierarchy caches
 
 
 def _cdiv(a, b):
@@ -82,6 +82,17 @@ class BellMatrix:
     n_rows_p: int = dataclasses.field(metadata={"static": True})   # Np
     use_pallas: bool = dataclasses.field(default=False,
                                          metadata={"static": True})
+    # Optional fp32 tail of the fp64 values (vals64 - f32(vals64)).
+    # When present, matvec applies BOTH planes — a "double-float" operator
+    # whose entries are fp64-accurate.  This matters because a ROUNDED
+    # stored stiffness matrix is a BIASED perturbation that breaks the
+    # elemental rigid-body invariants; on the slender bench beam (solution
+    # dominated by near-rigid translations/rotations) plain fp32 storage
+    # shifts the strain energy by ~1% at 35k dofs and O(100%) at 1.23M
+    # (measured via exact fp64 solves of the rounded system).  The
+    # matrix-free structured path never stores K and doesn't have this
+    # bias; the split restores parity at +1 fine matvec per CG iteration.
+    vals2_lo: Optional[jnp.ndarray] = None
 
     @property
     def n_dofs(self) -> int:
@@ -92,9 +103,16 @@ class BellMatrix:
         if self.use_pallas:
             out = bell_matvec_pallas(self.cols2, self.vals2, self.wblk,
                                      self.gbounds, u_cm, self.S, self.kc)
+            if self.vals2_lo is not None:
+                out = out + bell_matvec_pallas(
+                    self.cols2, self.vals2_lo, self.wblk, self.gbounds,
+                    u_cm, self.S, self.kc)
         else:
             out = bell_matvec_reference(self.cols2, self.vals2, u_cm,
                                         self.S)
+            if self.vals2_lo is not None:
+                out = out + bell_matvec_reference(
+                    self.cols2, self.vals2_lo, u_cm, self.S)
         return out.reshape(-1)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -113,9 +131,12 @@ class BellMatrix:
 
 jax.tree_util.register_pytree_node(
     BellMatrix,
-    lambda o: ((o.cols2, o.vals2, o.wblk, o.gbounds, o.free_mask),
+    lambda o: ((o.cols2, o.vals2, o.wblk, o.gbounds, o.free_mask,
+                o.vals2_lo),
                (o.S, o.kc, o.n_rows_p, o.use_pallas)),
-    lambda aux, leaves: BellMatrix(*leaves, *aux))
+    lambda aux, leaves: BellMatrix(leaves[0], leaves[1], leaves[2],
+                                   leaves[3], leaves[4], *aux,
+                                   vals2_lo=leaves[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -313,6 +334,49 @@ class BellSystem:
     def energy(self, u):
         return self.matrix.energy(u)
 
+    # ---- exact fp64 host matvec (for mixed-precision refinement) ------
+    # The stored hi/lo planes sum to the fp64 assembly exactly, so the
+    # host matvec below evaluates the TRUE residual — the quantity the
+    # fp32 device path fundamentally cannot see: its per-row rounding
+    # noise (~eps32·‖K‖·‖u‖) drowns the low-eigenmode residual signal,
+    # freezing e.g. a slender beam's bending amplitude at whatever
+    # accuracy the V-cycle reached before the signal sank (measured:
+    # energy stuck at 1e-3 rel at 35k dofs, catastrophic at 1.23M).
+    # Iterative refinement with THIS residual contracts the energy error
+    # ~400x per pass (scale-4 probe: 2.4e-3 → 6.0e-6 → 2.2e-8).
+
+    def _host_packed64(self):
+        cached = getattr(self, "_packed64", None)
+        if cached is None:
+            A = self.matrix
+            Np, S = A.n_rows_p, A.S
+            Nt = Np // 128
+            cols = np.asarray(A.cols2).reshape(Nt, S, 128) \
+                .transpose(1, 0, 2).reshape(S, Np)
+            vals = np.asarray(A.vals2, np.float64)
+            if A.vals2_lo is not None:
+                vals = vals + np.asarray(A.vals2_lo, np.float64)
+            vals = vals.reshape(Nt, 9, S, 128).transpose(1, 2, 0, 3) \
+                .reshape(9, S, Np)
+            mask = np.asarray(A.free_mask, np.float64)
+            cached = (cols, vals, mask)
+            self._packed64 = cached
+        return cached
+
+    def matvec64(self, x64: np.ndarray) -> np.ndarray:
+        """Constrained fp64 matvec on host (flat cm vector)."""
+        cols, vals, m = self._host_packed64()
+        Np = self.matrix.n_rows_p
+        u = (m * x64).reshape(3, Np)
+        out = np.zeros((3, Np))
+        for s in range(cols.shape[0]):
+            g = u[:, cols[s]]
+            for a in range(3):
+                out[a] += (vals[3 * a + 0, s] * g[0]
+                           + vals[3 * a + 1, s] * g[1]
+                           + vals[3 * a + 2, s] * g[2])
+        return m * out.reshape(-1) + (1.0 - m) * x64
+
     # layout converters (host)
     def to_cm(self, vec_il: np.ndarray) -> np.ndarray:
         v = np.zeros((3, self.matrix.n_rows_p))
@@ -497,16 +561,24 @@ def _mask_cm_flat(mask_il: np.ndarray, n_rows_p: int, dtype) -> jnp.ndarray:
 
 
 def _bell_from_triplets(rows, cols, blocks, n_nodes, mask_il, dtype,
-                        use_pallas: bool) -> BellMatrix:
+                        use_pallas: bool,
+                        split: bool = False) -> BellMatrix:
+    """``split=True`` (fp32 only) stores the fp64 values as an fp32
+    hi/lo pair so the operator is fp64-accurate — see BellMatrix."""
     packed = pack_ell_rows(rows, cols, blocks, n_nodes, n_nodes)
+    vals64 = np.asarray(packed["vals2"], np.float64)
+    vals_lo = None
+    if split and jnp.dtype(dtype) == jnp.float32:
+        hi = vals64.astype(np.float32)
+        vals_lo = jnp.asarray((vals64 - hi).astype(np.float32))
     return BellMatrix(
         cols2=jnp.asarray(packed["cols2"]),
-        vals2=jnp.asarray(packed["vals2"], dtype),
+        vals2=jnp.asarray(vals64, dtype),
         wblk=jnp.asarray(packed["wblk"]),
         gbounds=jnp.asarray(packed["gbounds"]),
         free_mask=_mask_cm_flat(mask_il, packed["n_rows_p"], dtype),
         S=packed["S"], kc=packed["kc"], n_rows_p=packed["n_rows_p"],
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, vals2_lo=vals_lo)
 
 
 def _transfer_from_triplets(p_rows, p_cols, p_w, n_fine, n_coarse, dtype,
@@ -590,8 +662,11 @@ def build_bell_multigrid(
     coords_p = np.asarray(mesh.coords, np.float64)[perm]
     t0 = tick("rcm_permute", t0)
 
+    # system matrix: split hi/lo (fp64-accurate operator for CG);
+    # V-cycle smoother levels use the hi plane only (preconditioner
+    # accuracy doesn't affect the fixed point, so don't pay 2x there)
     fine = _bell_from_triplets(rows, cols, blocks, N, mask_p, dtype,
-                               use_pallas)
+                               use_pallas, split=True)
     diag = _diag_blocks(rows, cols, blocks, N)
     binv = _block_jacobi_inv(diag, mask_p.reshape(N, 3))
     A_bsr = _triplets_to_scipy_bsr(rows, cols, blocks, N)
@@ -626,8 +701,9 @@ def build_bell_multigrid(
             f"coarsest {ndc} dofs")
 
     # --- level chain: P (triplets) -> RAP -> RCM -> BELL ---------------------
-    levels = [BellLevel(fine, _binv9_cm(binv, fine.n_rows_p, dtype), None,
-                        lam_max)]
+    fine_hi = dataclasses.replace(fine, vals2_lo=None)
+    levels = [BellLevel(fine_hi, _binv9_cm(binv, fine.n_rows_p, dtype),
+                        None, lam_max)]
     transfers = []
     A_cur = A_bsr.tocsr()
     mask_cur = mask_p
@@ -718,10 +794,12 @@ def build_bell_multigrid(
            + np.diag(1.0 - m_c))
     K_c = 0.5 * (K_c + K_c.T)
     evals, evecs = np.linalg.eigh(K_c)
-    rel_cut = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-10
-    cut = max(float(evals.max()), 1e-300) * rel_cut
-    inv_e = np.where(evals > cut,
-                     1.0 / np.where(evals > cut, evals, 1.0), 0.0)
+    # gap-based eigencut (shared logic): discard rank-deficient junk but
+    # KEEP low-lying global physics — the slender bench beam's two
+    # bending modes live at relative 1e-8..1e-6 here, and the old fixed
+    # fp32 cutoff zeroed them, silently corrupting the full-scale solve.
+    from .multigrid import coarse_pinv_weights
+    inv_e = coarse_pinv_weights(evals, dtype)
     inv_il = (evecs * inv_e) @ evecs.T
     inv_il = m_c[:, None] * inv_il * m_c[None, :]
     # scatter into the padded cm index space: cm index = a*Npc + n
@@ -778,6 +856,8 @@ def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
             "n_levels": np.int64(len(mg.levels)),
             "smoother": np.bytes_(mg.smoother.encode()),
             "build_seconds": np.float64(info.get("total_seconds", 0.0))}
+    if system.matrix.vals2_lo is not None:
+        arrs["fine_vals2_lo"] = np.asarray(system.matrix.vals2_lo)
 
     def put_bell(tag, op: BellMatrix):
         arrs[f"{tag}_cols2"] = np.asarray(op.cols2)
@@ -854,7 +934,13 @@ def load_hierarchy(path: str, dtype,
             None if np.isnan(lam) else lam))
     mg = BellMG(tuple(levels), jnp.asarray(z["coarse_inv"], dtype),
                 nu=int(z["nu"]), smoother=bytes(z["smoother"]).decode())
-    system = BellSystem(levels[0].op, z["perm"], int(z["n_nodes"]), dtype)
+    fine = levels[0].op
+    if "fine_vals2_lo" in z:
+        # restore the fp64-accurate split system operator (the V-cycle
+        # levels stay hi-only — see build_bell_multigrid)
+        fine = dataclasses.replace(
+            fine, vals2_lo=jnp.asarray(z["fine_vals2_lo"], dtype))
+    system = BellSystem(fine, z["perm"], int(z["n_nodes"]), dtype)
     info = {"loaded_from": path,
             "build_seconds": float(z["build_seconds"]),
             "cached": True}

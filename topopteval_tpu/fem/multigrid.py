@@ -42,6 +42,62 @@ from .solvers import block_jacobi_preconditioner
 
 
 # ---------------------------------------------------------------------------
+# Coarsest-level pseudo-inverse eigencut (shared with fem/bell.py)
+# ---------------------------------------------------------------------------
+
+
+def coarse_pinv_weights(evals: np.ndarray, dtype) -> np.ndarray:
+    """Inverse-eigenvalue weights for the coarsest-level pseudo-inverse.
+
+    Two failure modes pull the cutoff in opposite directions:
+
+    * Rank-deficient junk modes (voxel-embedded coarse bases over porous /
+      partially-filled geometry) must be DISCARDED: inverting them turns
+      the coarse correction into rounding-noise amplification and stalls
+      the outer fp32 CG (observed on the bundled SIMP hex fixture).
+    * Genuine global physics can land arbitrarily low: on the slender
+      1.23M-tet bench beam the two global bending modes sit at RELATIVE
+      coarsest eigenvalues 1e-8..1e-6 — below a fixed fp32 cutoff of
+      1e-6 — and zeroing them leaves lambda_min(M A) ~ 1e-6 on the fine
+      level, which destroys the attainable accuracy of the solve
+      (measured: energy -702 vs fp64 oracle +324 at backward error 1e-6).
+
+    The hierarchy is built host-side in fp64, so eigh resolves real modes
+    down to ~1e-13 relative; structural junk clusters many decades below
+    the lowest physics (measured beam gap: 1e-16 vs 1e-8).  The cut is
+    therefore placed at the largest spectral GAP whose lower edge is in
+    the numerical-zero zone (<= 1e-11 relative).  When no such clean gap
+    exists (SIMP void-mode continua), fall back to the legacy fixed
+    ceiling — exactly the behavior that fixed the porous stall.
+    """
+    evals = np.asarray(evals, np.float64)
+    lam_max = max(float(evals.max()), 1e-300)
+    rel = evals / lam_max
+    ceiling = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-10
+    noise = 1e-11
+    cut = ceiling
+    low = np.sort(rel[(rel > 0) & (rel < ceiling)])
+    if low.size:
+        if low[0] > noise:
+            # numerically full rank below the ceiling: nothing is junk,
+            # the exact inverse is the ideal coarse solve — keep all.
+            cut = noise
+        else:
+            above = rel[rel >= ceiling]
+            fence = float(above.min()) if above.size else 1.0
+            seq = np.concatenate([np.maximum(low, 1e-300), [fence]])
+            ratios = seq[1:] / seq[:-1]
+            # candidate gaps must START in the junk zone
+            ratios = np.where(seq[:-1] <= noise, ratios, 0.0)
+            j = int(np.argmax(ratios))
+            if ratios[j] >= 1e3:
+                cut = float(np.sqrt(seq[j] * seq[j + 1]))
+    cut_abs = lam_max * cut
+    keep = evals > cut_abs
+    return np.where(keep, 1.0 / np.where(keep, evals, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
 # Transfer operators between nested structured node lattices
 # ---------------------------------------------------------------------------
 
@@ -1094,15 +1150,9 @@ def build_unstructured_multigrid(
     K_c = ell.to_dense_constrained()
     K_c = 0.5 * (K_c + K_c.T)
     evals, evecs = np.linalg.eigh(K_c)
-    # dtype-aware cutoff: in fp32 compute, modes with relative eigenvalue
-    # below ~eps_fp32 produce pseudo-inverse entries so large that their
-    # corrections are pure rounding noise — the outer CG then STALLS on
-    # porous geometry (observed on the bundled fixture).  Discarding them
-    # keeps the correction inside the numerically resolved subspace.
-    rel_cut = 1e-6 if jnp.dtype(dtype) == jnp.float32 else 1e-10
-    cut = max(float(evals.max()), 1e-300) * rel_cut
-    inv_e = np.where(evals > cut, 1.0 / np.where(evals > cut, evals, 1.0),
-                     0.0)
+    # gap-based eigencut: discard rank-deficient junk, keep low physics
+    # (see coarse_pinv_weights for the measured failure modes).
+    inv_e = coarse_pinv_weights(evals, dtype)
     inv_np = (evecs * inv_e) @ evecs.T
     m_c = np.asarray(mask_c, np.float64).reshape(-1)
     coarse_inv = jnp.asarray(m_c[:, None] * inv_np * m_c[None, :], dtype)
