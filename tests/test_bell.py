@@ -97,6 +97,66 @@ def test_sell_kernels_match_scipy():
     np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
 
 
+def test_bell_aligned_kernels_match_scipy():
+    """Chunk-aligned layout (the production fast path, round-3): packer +
+    interpret-mode kernel + reference twin all equal scipy, including the
+    fused hi/lo split pass."""
+    from topopteval_tpu.ops.pallas_bsr import (bell_matvec_aligned,
+                                               pack_ell_aligned)
+    N = 300
+    rows, cols, blocks, K = _random_bsr(N)
+    pk = pack_ell_aligned(rows, cols, blocks, N, N)
+    Np = pk["n_rows_p"]
+    rng = np.random.default_rng(1)
+    u = np.zeros((3, Np))
+    u[:, :N] = rng.standard_normal((3, N))
+    truth = (K @ u[:, :N].T.reshape(-1)).reshape(N, 3).T
+    c2 = jnp.asarray(pk["cols2"])
+    v2 = jnp.asarray(pk["vals2"])
+    cm = jnp.asarray(pk["cmeta"])
+    u_d = jnp.asarray(u)
+    ref = np.asarray(bell_matvec_reference(c2, v2, u_d, pk["S"]))[:, :N]
+    np.testing.assert_allclose(ref, truth, rtol=1e-12, atol=1e-12)
+    o1 = np.asarray(bell_matvec_aligned(c2, v2, cm, u_d, pk["S"],
+                                        interpret=True))[:, :N]
+    np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
+    # fused split: (hi + lo) in one pass == hi matvec + lo matvec
+    lo = _random_bsr(N, seed=7)[2] * 1e-3
+    pk_lo = pack_ell_aligned(rows, cols, lo, N, N)
+    o2 = np.asarray(bell_matvec_aligned(
+        c2, v2, cm, u_d, pk["S"],
+        vals2_lo=jnp.asarray(pk_lo["vals2"]), interpret=True))[:, :N]
+    truth2 = truth + np.asarray(bell_matvec_reference(
+        jnp.asarray(pk_lo["cols2"]), jnp.asarray(pk_lo["vals2"]), u_d,
+        pk_lo["S"]))[:, :N]
+    np.testing.assert_allclose(o2, truth2, rtol=1e-12, atol=1e-12)
+
+
+def test_sell_aligned_kernels_match_scipy():
+    from topopteval_tpu.ops.pallas_bsr import (pack_ell_aligned,
+                                               sell_matvec_aligned)
+    N, Nc, nnz = 300, 150, 1200
+    rng = np.random.default_rng(2)
+    prow = rng.integers(0, N, nnz)
+    pcol = np.clip(prow // 2 + rng.integers(-10, 11, nnz), 0, Nc - 1)
+    w = rng.standard_normal(nnz)
+    P = sp.coo_matrix((w, (prow, pcol)), shape=(N, Nc)).tocsr()
+    pp = pack_ell_aligned(prow, pcol, w, N, Nc)
+    ncp = pp["n_cols_p"]
+    uc = np.zeros((3, ncp))
+    uc[:, :Nc] = rng.standard_normal((3, Nc))
+    truth = np.stack([P @ uc[a, :Nc] for a in range(3)])
+    c2, w2 = jnp.asarray(pp["cols2"]), jnp.asarray(pp["vals2"])
+    uc_d = jnp.asarray(uc)
+    ref = np.asarray(sell_matvec_reference(c2, w2, uc_d, pp["S"],
+                                           pp["n_rows_p"]))[:, :N]
+    np.testing.assert_allclose(ref, truth, rtol=1e-12, atol=1e-12)
+    o1 = np.asarray(sell_matvec_aligned(c2, w2, jnp.asarray(pp["cmeta"]),
+                                        uc_d, pp["S"],
+                                        interpret=True))[:, :N]
+    np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
+
+
 # ---------------------------------------------------------------------------
 # Assembly + operator parity
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""Sharded multigrid solver (parallel/halo_mg.py) — round-2 VERDICT #3:
+MG-PCG over the halo-exchange fine operator with replicated coarse
+levels must reproduce the single-device solve (same preconditioner ⇒
+same CG trajectory) through the public ``solve_system(devices=...)``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import topopteval_tpu as t
+from topopteval_tpu.models.beams import generate_grid_tet
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _build_problem(dtype, nx=10, ny=4, nz=3):
+    mesh = generate_grid_tet(nx, ny, nz, (0, 0, 0), (60.0, 20.0, 4.0))
+    mesh.structured_info = None          # force the general (BELL) route
+    p = t.setup_problem(mesh, dtype=dtype)
+    t.assemble_stiffness_matrix(p, *t.create_material_model(1.0, 0.3))
+    t.apply_fixed_boundary(p, t.nodes_at_plane(p.mesh, 0, 0.0))
+    t.apply_force(p, t.nodes_at_plane(p.mesh, 0, 60.0), [0.0, 0.0, -1.0])
+    return p
+
+
+def _cfg(**kw):
+    kw.setdefault("method", "cg")
+    kw.setdefault("preconditioner", "multigrid")
+    kw.setdefault("tolerance", 1e-10)
+    kw.setdefault("verbose", False)
+    return t.SolverConfig(**kw)
+
+
+def test_sharded_mg_matches_single_device_fp64(tmp_path, monkeypatch):
+    """8-device MG-PCG == single-device: energy to 1e-8, same iteration
+    count (the sharded V-cycle uses the identical host-built block
+    inverses, lambda_max and coarse chain, so the preconditioned
+    trajectories coincide to fp64 rounding)."""
+    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
+    p1 = _build_problem(jnp.float64)
+    r1 = t.solve_system(p1, _cfg())
+    p2 = _build_problem(jnp.float64)
+    r2 = t.solve_system(p2, _cfg(), devices=8)
+    assert r1.converged and r2.converged
+    assert r2.method == "cg(multigrid,sharded)"
+    assert abs(r2.energy - r1.energy) / abs(r1.energy) <= 1e-8
+    assert r2.iterations == r1.iterations
+    assert np.max(np.abs(r1.u - r2.u)) <= 1e-7 * np.max(np.abs(r1.u))
+
+
+def test_sharded_mg_fp32_refined(tmp_path, monkeypatch):
+    """fp32 sharded solve wraps the same mixed-precision refinement as
+    the single-device BELL path: the fp64-certified energy must match
+    the fp64 solve to ~1e-7 despite fp32 device compute."""
+    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
+    p64 = _build_problem(jnp.float64)
+    r64 = t.solve_system(p64, _cfg())
+    p32 = _build_problem(jnp.float32)
+    r32 = t.solve_system(p32, _cfg(tolerance=1e-8), devices=8)
+    assert r32.converged
+    assert abs(r32.energy - r64.energy) / abs(r64.energy) <= 1e-6
+
+
+def test_sharded_block_jacobi_path(tmp_path, monkeypatch):
+    """preconditioner='block_diagonal' rides the plain sharded CG with
+    the device-computed sharded block-Jacobi (and its backward-error
+    gate)."""
+    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
+    p = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
+    cfg = _cfg(preconditioner="block_diagonal", tolerance=1e-9,
+               max_iterations=5000)
+    r = t.solve_system(p, cfg, devices=8)
+    assert r.converged and r.method == "cg(sharded)"
+    p1 = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
+    r1 = t.solve_system(p1, _cfg())
+    assert abs(r.energy - r1.energy) / abs(r1.energy) <= 1e-7
+
+
+def test_halo_mg_transfer_adjoint(tmp_path, monkeypatch):
+    """restrict == prolongᵀ on the sharded layout (Galerkin consistency:
+    <R r, z> == <r, P z> for random vectors)."""
+    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
+    from topopteval_tpu.fem.bc import free_mask_from_bcs
+    from topopteval_tpu.parallel.halo_mg import build_halo_multigrid
+    from topopteval_tpu.parallel.sharding import build_device_mesh
+
+    p = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
+    mask = free_mask_from_bcs(p.n_dofs, p.bcs)
+    dev_mesh = build_device_mesh(8, data_parallel=1)
+    hop, hmg, _ = build_halo_multigrid(
+        p.mesh, p.lam, p.mu, dev_mesh, free_mask=mask,
+        dtype=jnp.float64, order=p.quad_order)
+    rng = np.random.default_rng(0)
+    r = hop.to_local(rng.standard_normal(p.n_dofs))
+    z = jnp.asarray(rng.standard_normal(3 * hmg.n1p))
+    lhs = float(jnp.vdot(hmg.restrict(r), z))
+    rhs = float(jnp.vdot(r, hmg.prolong(z)))
+    assert abs(lhs - rhs) <= 1e-10 * max(abs(lhs), 1.0)

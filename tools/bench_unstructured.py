@@ -34,13 +34,21 @@ def log(msg):
 
 def _start_heartbeat(period_s: int = 60):
     """Periodic stderr line so the run_tpu.sh stall detector does not kill
-    the long silent remote-compile phases (minutes with no output)."""
+    the long silent remote-compile phases (minutes with no output).
+
+    The first beat waits for a trivial device op: a WEDGED chip claim
+    then emits nothing, so run_tpu.sh's claim-stuck detector still fires
+    (a heartbeat that starts before the claim binds would defeat it —
+    observed: 9 min of heartbeats on a dead claim)."""
     import threading
     import time as _t
 
     t0 = _t.time()
 
     def beat():
+        import jax.numpy as jnp
+        jnp.zeros(8).block_until_ready()     # blocks until claim binds
+        log(f"[heartbeat] device up after {int(_t.time() - t0)}s")
         while True:
             _t.sleep(period_s)
             log(f"[heartbeat] {int(_t.time() - t0)}s elapsed")
@@ -183,6 +191,8 @@ def main():
             "mg_build_seconds": round(t_build, 1),
             "mg_build_cached": bool(build_info.get("cached", False)),
             "mg_build_phases": build_info.get("phases"),
+            "mg_cache_save_seconds": build_info.get("save_seconds"),
+            "mg_cache_load_seconds": build_info.get("load_seconds"),
             "matvec_ms": (round(matvec_ms, 3)
                           if matvec_ms is not None else None),
             "matvec_gbps": (round(matvec_gbps, 1)

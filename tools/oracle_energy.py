@@ -52,11 +52,21 @@ def compute(scale: int, order: int = 1) -> float:
     problem = setup_problem(mesh, interpolation_order=order,
                             dtype=jnp.float64)
     assemble_stiffness_matrix(problem, lam, mu)
-    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
-    apply_force(problem, nodes_at_plane(mesh, 0, 60.0), [0.0, 0.0, -1.0])
-    res = solve_system(problem, SolverConfig(
-        method="cg", preconditioner="multigrid", tolerance=1e-11,
-        max_iterations=400, verbose=False))
+    # node selection on problem.mesh: for order=2 that is the TET10 mesh
+    # (mid-edge nodes on the planes included) — must match bench.py's
+    # selection exactly, else the load split/clamping differ
+    apply_fixed_boundary(problem, nodes_at_plane(problem.mesh, 0, 0.0))
+    apply_force(problem, nodes_at_plane(problem.mesh, 0, 60.0),
+                [0.0, 0.0, -1.0])
+    if problem.n_dofs < 200_000:
+        # small problems: host scipy direct solve — independent of the
+        # iterative/multigrid machinery the oracle gates
+        cfg = SolverConfig(method="direct", verbose=False)
+    else:
+        cfg = SolverConfig(method="cg", preconditioner="multigrid",
+                           tolerance=1e-11, max_iterations=400,
+                           verbose=False)
+    res = solve_system(problem, cfg)
     assert res.converged, (res.iterations, res.residual_norm)
     # energy definition matching bench.py: 0.5 u.f
     return float(0.5 * np.dot(res.u, problem.f))
@@ -64,13 +74,16 @@ def compute(scale: int, order: int = 1) -> float:
 
 def main():
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    e = compute(scale)
+    order = 2 if "--order2" in sys.argv else 1
+    e = compute(scale, order)
+    key = (f"tet10_beam_scale_{scale}" if order == 2
+           else f"tet_beam_scale_{scale}")
     if "--update-table" in sys.argv:
         table = {}
         if os.path.exists(TABLE):
             with open(TABLE) as fh:
                 table = json.load(fh)
-        table[f"tet_beam_scale_{scale}"] = e
+        table[key] = e
         with open(TABLE, "w") as fh:
             json.dump(table, fh, indent=1, sort_keys=True)
         print(f"updated {TABLE}", file=sys.stderr)

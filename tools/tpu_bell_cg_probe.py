@@ -39,8 +39,8 @@ def log(msg):
 
 class NpLevel:
     def __init__(self, z, i):
-        S, kc, nrp = (int(x) for x in z[f"L{i}_meta"])
-        self.S, self.kc, self.nrp = S, kc, nrp
+        S, nrp = (int(x) for x in z[f"L{i}_meta"])      # v6 aligned meta
+        self.S, self.nrp = S, nrp
         self.cols2 = z[f"L{i}_cols2"]
         self.vals2 = z[f"L{i}_vals2"].astype(np.float32)
         self.mask = z[f"L{i}_mask"].astype(np.float32)
@@ -48,7 +48,7 @@ class NpLevel:
         self.lam_max = float(z[f"L{i}_lam_max"])
         self.t = None
         if f"L{i}_t_meta" in z:
-            (self.pS, self.pkc, self.rS, self.rkc, self.nf_p,
+            (self.pS, self.rS, self.nf_p,
              self.nc_p) = (int(x) for x in z[f"L{i}_t_meta"])
             self.pcols = z[f"L{i}_t_pcols"]
             self.pw = z[f"L{i}_t_pw"].astype(np.float32)

@@ -312,7 +312,7 @@ def _bell_cache_path(problem: Problem, mask) -> Optional[str]:
     return os.path.join(root, f"bell_{key}.npz")
 
 
-def _get_bell_multigrid(problem: Problem, mask):
+def _get_bell_multigrid(problem: Problem, mask, use_pallas=None):
     """Explicit BELL hierarchy for the general/imported-mesh path, with
     .npz persistence keyed by mesh+material+BC hash."""
     from .fem.bell import (build_bell_multigrid, load_hierarchy,
@@ -321,7 +321,8 @@ def _get_bell_multigrid(problem: Problem, mask):
     path = _bell_cache_path(problem, mask)
     if path is not None and os.path.exists(path):
         try:
-            system, mg, info = load_hierarchy(path, problem.dtype)
+            system, mg, info = load_hierarchy(path, problem.dtype,
+                                              use_pallas=use_pallas)
             info["load_seconds"] = round(time.perf_counter() - t0, 3)
             log(f"multigrid hierarchy loaded from cache "
                 f"({info['load_seconds']}s): {path}")
@@ -330,14 +331,21 @@ def _get_bell_multigrid(problem: Problem, mask):
             print_warning(f"hierarchy cache load failed ({e}); rebuilding")
     system, mg, info = build_bell_multigrid(
         problem.mesh, problem.lam, problem.mu, free_mask=mask,
-        dtype=problem.dtype, order=problem.quad_order)
+        dtype=problem.dtype, order=problem.quad_order,
+        use_pallas=use_pallas)
     info["cached"] = False
     if path is not None:
         try:
+            t_s = time.perf_counter()
             save_hierarchy(path, system, mg, info)
-            log(f"multigrid hierarchy cached to {path}")
+            info["save_seconds"] = round(time.perf_counter() - t_s, 3)
+            log(f"multigrid hierarchy cached to {path} "
+                f"({info['save_seconds']}s)")
         except Exception as e:
             print_warning(f"hierarchy cache save failed: {e}")
+    # the host mirrors exist for save_hierarchy only — at 1M-tet scale
+    # they hold ~400 MB of host RAM
+    info.pop("host_arrays", None)
     return system, mg, info
 
 
@@ -397,6 +405,131 @@ def _get_multigrid(problem: Problem):
     return op, mg
 
 
+def _solve_system_sharded(problem: Problem, config: SolverConfig,
+                          devices, timer: PhaseTimer) -> SolveResult:
+    """Multi-device MG-PCG (round-2 VERDICT #3: the sharded fast solver).
+
+    DOF vectors are node-partitioned slabs over the ``elem`` mesh axis;
+    the system operator is the halo-exchange sharded matvec
+    (parallel/halo.py — boundary-only collectives) and the multigrid
+    preconditioner runs its fine level sharded with replicated coarse
+    levels (parallel/halo_mg.py).  fp32 problems wrap the sharded PCG in
+    the same mixed-precision refinement as the single-device BELL path
+    (exact fp64 host residuals), so tolerances keep their meaning.
+    """
+    from jax.sharding import Mesh as JaxMesh
+
+    from .parallel.halo import HaloShardedOperator
+    from .parallel.halo_mg import build_halo_multigrid
+    from .parallel.sharding import build_device_mesh
+
+    if config.method not in ("cg", "auto"):
+        raise ValueError(
+            f"sharded solve supports method='cg' (got {config.method!r})")
+    if isinstance(devices, JaxMesh):
+        dev_mesh = devices
+    elif isinstance(devices, int):
+        dev_mesh = build_device_mesh(devices)
+    else:
+        dev_mesh = build_device_mesh(devices=list(devices))
+
+    n = problem.n_dofs
+    mask = free_mask_from_bcs(n, problem.bcs)
+    use_mg = config.preconditioner == "multigrid"
+    system = None
+    with timer.phase("build_operator"):
+        if use_mg:
+            hierarchy = _get_bell_multigrid(problem, mask,
+                                            use_pallas=False)
+            hop, M, system = build_halo_multigrid(
+                problem.mesh, problem.lam, problem.mu, dev_mesh,
+                free_mask=mask, dtype=problem.dtype,
+                order=problem.quad_order, hierarchy=hierarchy)
+        else:
+            lam_e = np.broadcast_to(problem.lam, (problem.mesh.n_cells,))
+            mu_e = np.broadcast_to(problem.mu, (problem.mesh.n_cells,))
+            hop = HaloShardedOperator.build(
+                problem.mesh, lam_e, mu_e, dev_mesh, free_mask=mask,
+                dtype=problem.dtype, order=problem.quad_order,
+                use_pallas=False)
+            M = hop.block_jacobi()
+
+    f64_il = np.asarray(problem.f, np.float64)[:n] * mask
+    f_slab = hop.to_local(f64_il) * hop.free_mask
+    log(f"Solving linear system (sharded over "
+        f"{dev_mesh.shape['elem']} devices)...")
+    t0 = time.perf_counter()
+    history = None
+    if use_mg and jnp.dtype(problem.dtype) == jnp.float32:
+        # mixed-precision refinement: fp32 sharded MG-PCG inner solves,
+        # exact fp64 residuals via the BELL hi/lo host matvec (same
+        # scheme as _refined_cg; layouts converted host-side per pass)
+        rn0 = float(np.linalg.norm(f64_il))
+        eps = config.tolerance + config.tolerance * rn0
+        x64 = np.zeros(n)
+        total = 0
+        rn = rn0
+
+        def mv64(x_il):
+            return system.to_il(system.matvec64(system.to_cm(x_il)))
+
+        for p in range(6):
+            r64 = f64_il - mv64(x64)
+            rn = float(np.linalg.norm(r64))
+            if rn <= eps or total >= config.max_iterations:
+                break
+            if config.verbose and p > 0:
+                log(f"  Refinement pass {p}: true residual = {rn:.6e}")
+            s = rn
+            rhs = hop.to_local(r64 / s) * hop.free_mask
+            res = cg(hop, rhs, M=M, tol=max(config.tolerance, 1e-6),
+                     maxiter=config.max_iterations - total)
+            ni = int(res.niter)
+            if ni == 0:
+                break
+            x64 = x64 + s * hop.from_local(np.asarray(res.x, np.float64))
+            total += ni
+        else:
+            rn = float(np.linalg.norm(f64_il - mv64(x64)))
+        u_il64 = x64
+        niter, rnorm, conv = total, rn, rn <= eps
+    else:
+        res = cg(hop, f_slab, M=M, tol=config.tolerance,
+                 maxiter=config.max_iterations,
+                 record_history=config.history)
+        niter = int(res.niter)
+        rnorm = float(res.residual_norm)
+        conv = bool(res.converged)
+        if res.history is not None:
+            history = np.asarray(res.history)[: niter + 1]
+        if conv:
+            # same backward-error miscompile gate as the single-device
+            # iterative paths (round-2 VERDICT weak #3)
+            eta, ffrac = _backward_error(hop, f_slab, res.x)
+            eps_dt = float(jnp.finfo(problem.dtype).eps)
+            if eta > 100.0 * eps_dt + 100.0 * config.tolerance * ffrac:
+                print_warning(
+                    f"sharded solution FAILED backward-error "
+                    f"verification (eta={eta:.2e})")
+                conv = False
+        u_il64 = hop.from_local(np.asarray(res.x, np.float64))
+    solve_time = time.perf_counter() - t0
+    timer.records["solve"] = PhaseRecord("solve", solve_time)
+    energy = 0.5 * float(u_il64 @ f64_il)
+    method = "cg(multigrid,sharded)" if use_mg else "cg(sharded)"
+    if config.verbose:
+        from .fem.robust import print_convergence_report
+        print_convergence_report(config, method, niter, rnorm, conv,
+                                 history)
+    elif not conv:
+        print_warning(
+            f"Sharded solver did not converge after {niter} iterations "
+            f"(residual {rnorm:.3e}, target {config.tolerance:.1e})")
+    u_dev = jnp.asarray(u_il64, problem.dtype)
+    return _finish_result(problem, u_dev, energy, method, niter, rnorm,
+                          conv, solve_time, history, timer)
+
+
 def _backward_error(op, f_dev, u):
     """Normwise backward error eta = ||f-Au|| / (||A||·||u|| + ||f||)
     with a fresh matvec and an 8-step power estimate of ||A||_2 (the
@@ -423,10 +556,14 @@ def _backward_error(op, f_dev, u):
 
 
 def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
-                record_history=False):
+                record_history=False, live_report=False):
     """PCG split into fixed-size program chunks with warm restarts — the
     axon TPU backend kills single programs running ≳1 min
-    (docs/PERF_NOTES.md), so long Krylov loops must be chunked."""
+    (docs/PERF_NOTES.md), so long Krylov loops must be chunked.
+
+    ``live_report`` emits the reference's during-solve residual lines at
+    each chunk boundary (RobustSolver.jl:429-443 prints every 50 iters;
+    chunked mode previously stayed silent between chunks)."""
     from .fem.solvers import KrylovResult
 
     if chunk <= 0 or chunk >= maxiter:
@@ -442,6 +579,9 @@ def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
         n = int(res.niter)
         x = res.x
         total += n
+        if live_report:
+            log(f"  Iteration {total}: residual = "
+                f"{float(res.residual_norm):.6e}")
         if record_history and res.history is not None:
             h = np.asarray(res.history)[: n + 1]
             hists.append(h if not hists else h[1:])
@@ -454,7 +594,8 @@ def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
 
 
 def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
-                chunk=0, record_history=False, max_passes=6):
+                chunk=0, record_history=False, max_passes=6,
+                live_report=False):
     """Mixed-precision iterative refinement around the fp32 MG-PCG.
 
     fp32 CG cannot converge the lowest eigenmodes of an ill-conditioned
@@ -483,13 +624,16 @@ def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
         rn = float(np.linalg.norm(r64))
         if rn <= eps or total >= maxiter:
             break
+        if live_report and p > 0:
+            log(f"  Refinement pass {p}: true residual = {rn:.6e}")
         s = rn
         rhs = jnp.asarray(r64 / s, dtype)
         # the OUTER criterion uses the exact fp64 residual, so it honors
         # tolerances the fp32 inner iteration cannot certify itself
         inner_tol = max(tol, 1e-6)
         res = _chunked_cg(op_jit, rhs, M, inner_tol, maxiter - total,
-                          chunk=chunk, record_history=record_history)
+                          chunk=chunk, record_history=record_history,
+                          live_report=live_report)
         n = int(res.niter)
         if n == 0:
             break
@@ -508,7 +652,8 @@ def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
 
 def solve_system(problem: Problem,
                  config: Optional[SolverConfig] = None,
-                 x0: Optional[np.ndarray] = None) -> SolveResult:
+                 x0: Optional[np.ndarray] = None,
+                 devices=None) -> SolveResult:
     """Solve K u = f with the accumulated constraints, then recover energy
     and stresses (reference: FiniteElementAnalysis.jl:538-561, 831-862).
 
@@ -516,9 +661,18 @@ def solve_system(problem: Problem,
     assembled onto the problem.  ``x0`` warm-starts the Krylov iteration
     (e.g. resume from a previous solve for tolerance sweeps — the
     checkpoint/resume posture SURVEY.md §5 prescribes).
+
+    ``devices`` distributes the solve across a device mesh (an int device
+    count, a device list, or a ``jax.sharding.Mesh``): DOF vectors are
+    node-partitioned slabs, the fine operator is the halo-exchange
+    sharded matvec, and the multigrid V-cycle runs its fine level sharded
+    with replicated coarse levels (parallel/halo_mg.py).  The reference
+    is single-device only (SURVEY §2.2).
     """
     timer = PhaseTimer()
     config = config or _default_config()
+    if devices is not None:
+        return _solve_system_sharded(problem, config, devices, timer)
 
     method = config.method
     if method == "auto":
@@ -599,7 +753,8 @@ def solve_system(problem: Problem,
             x64, niter, rnorm, conv, history = _refined_cg(
                 op, op_jit, M, f64, config.tolerance,
                 config.max_iterations, x0_64=x0_64, chunk=chunk,
-                record_history=config.history)
+                record_history=config.history,
+                live_report=config.verbose)
             u = jnp.asarray(x64, problem.dtype)
             energy64 = 0.5 * float(x64 @ f64)
             if history is not None:
@@ -607,7 +762,8 @@ def solve_system(problem: Problem,
         else:
             res = _chunked_cg(op_jit, f_dev, M, config.tolerance,
                               config.max_iterations, x0=x0_dev,
-                              chunk=chunk, record_history=config.history)
+                              chunk=chunk, record_history=config.history,
+                              live_report=config.verbose)
             u = res.x
             niter = int(res.niter)
             rnorm = float(res.residual_norm)
@@ -665,17 +821,27 @@ def solve_system(problem: Problem,
             else:
                 conv = False
 
+    # the refined path's fp64 energy (0.5 u.f with exact residual
+    # control) supersedes the fp32 device evaluation
+    energy = energy64 if energy64 is not None else float(op.energy(u))
+    if is_cm:
+        # back to the public interleaved DOF layout for stress/export
+        u = jnp.asarray(op.to_il(np.asarray(u)), problem.dtype)
+    return _finish_result(problem, u, energy, method, niter, rnorm, conv,
+                          solve_time, history, timer, dmesh=dmesh)
+
+
+def _finish_result(problem: Problem, u_il, energy: float, method: str,
+                   niter: int, rnorm: float, conv: bool,
+                   solve_time: float, history, timer: PhaseTimer,
+                   dmesh=None) -> SolveResult:
+    """Shared post-solve tail: stress recovery + SolveResult assembly.
+    ``u_il`` is in the public interleaved DOF layout (may be padded)."""
     with timer.phase("postprocess"):
-        # the refined path's fp64 energy (0.5 u.f with exact residual
-        # control) supersedes the fp32 device evaluation
-        energy = energy64 if energy64 is not None else float(op.energy(u))
-        if is_cm:
-            # back to the public interleaved DOF layout for stress/export
-            u = jnp.asarray(op.to_il(np.asarray(u)), problem.dtype)
         if dmesh is None:
-            # stencil-operator solve path: build the connectivity mesh
-            # once for stress recovery (same einsum path as the general
-            # operator's postprocess)
+            # stencil/BELL/sharded solve paths: build the connectivity
+            # mesh once for stress recovery (same einsum path as the
+            # general operator's postprocess)
             dmesh = problem.mesh.device(dtype=problem.dtype)
         C_all = dmesh.conn.shape[0]
         lam_np = np.zeros(C_all)
@@ -685,7 +851,7 @@ def solve_system(problem: Problem,
         lam_e = jnp.asarray(lam_np, problem.dtype)
         mu_e = jnp.asarray(mu_np, problem.dtype)
         sigma_qp, avg, vm, max_vm, max_cell = stress_summary(
-            dmesh, u, lam_e, mu_e, problem.quad_order)
+            dmesh, u_il, lam_e, mu_e, problem.quad_order)
 
     log("Analysis complete")
     log(f"Deformation energy: {energy} J")
@@ -694,7 +860,7 @@ def solve_system(problem: Problem,
 
     C = problem.mesh.n_cells
     return SolveResult(
-        u=np.asarray(u)[:n], energy=energy,
+        u=np.asarray(u_il)[: problem.n_dofs], energy=energy,
         stress_qp=np.asarray(sigma_qp)[:C],
         stress_avg=np.asarray(avg)[:C],
         von_mises=np.asarray(vm)[:C],

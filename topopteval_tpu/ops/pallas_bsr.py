@@ -269,6 +269,281 @@ def sell_matvec_reference(cols2: jnp.ndarray, w2: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Chunk-ALIGNED block-ELL: every GROUP of slots in a node tile gathers
+# from ONE statically-known 128-lane source chunk (cmeta, SMEM), so the
+# kernel does exactly ngt gathers per tile — no window scan at all.
+#
+# Motivation (measured on the 1.23M-tet fine operator, scale 16): the
+# scan kernel above does ng*kc = 2*32 = 64 chunk iterations per tile
+# while per-group LIVE spans average 15 chunks (sorted-slot groups
+# straddle the whole RCM band), so neither scanning nor bounds-skip gets
+# near the real work; chunk alignment does 7-8 gathers/tile (9x less
+# vector work) at the cost of ELL padding (S 16 -> ~88 on that matrix).
+# The multiply is FUSED into the per-group loop through a [3G, 128]
+# accumulator, so padded tail groups only cost their (zero) vals DMA.
+# ---------------------------------------------------------------------------
+
+
+def _bell_aligned_kernel(S: int, ng: int, split: bool):
+    def kernel(cmeta_ref, cols_ref, *args):
+        if split:
+            (vals_ref, vals_lo_ref, u_ref, out_ref, acc_ref,
+             acc_lo_ref) = args
+        else:
+            vals_ref, u_ref, out_ref, acc_ref = args
+            vals_lo_ref = acc_lo_ref = None
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if split:
+            acc_lo_ref[:] = jnp.zeros_like(acc_lo_ref)
+        for g in range(ng):
+            # cmeta_ref is the (1, 1, 1+ng) BLOCK of this tile
+            off = cmeta_ref[0, 0, 1 + g] * LANES
+            chunk = u_ref[:, pl.ds(pl.multiple_of(off, LANES), LANES)]
+            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (GROUP, LANES))
+                    for a in range(3)]
+            ug = jnp.concatenate(rows, axis=0)            # [3G, 128]
+            col8 = cols_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            idx8 = col8 - off                # in [0, 128) by construction
+            idx24 = jnp.concatenate([idx8, idx8, idx8], axis=0)
+            g24 = jnp.take_along_axis(ug, idx24, axis=1,
+                                      mode="promise_in_bounds")
+            for a in range(3):
+                t = t_lo = None
+                for b in range(3):
+                    gb_ = g24[b * GROUP:(b + 1) * GROUP, :]
+                    sl = slice((3 * a + b) * S + g * GROUP,
+                               (3 * a + b) * S + (g + 1) * GROUP)
+                    term = vals_ref[0, sl, :] * gb_
+                    t = term if t is None else t + term
+                    if vals_lo_ref is not None:
+                        # the lo plane accumulates in its OWN scratch:
+                        # lo terms are the eps-level fp32 remainders of
+                        # the hi terms, so any per-term or per-group
+                        # hi+lo add in fp32 rounds straight back to hi
+                        # and silently annihilates the split (seen on
+                        # chip: bit-identical output with/without lo)
+                        term_lo = vals_lo_ref[0, sl, :] * gb_
+                        t_lo = (term_lo if t_lo is None
+                                else t_lo + term_lo)
+                acc_ref[a * GROUP:(a + 1) * GROUP, :] += t
+                if acc_lo_ref is not None:
+                    acc_lo_ref[a * GROUP:(a + 1) * GROUP, :] += t_lo
+        # reduce each plane fully, THEN add once per output element —
+        # identical summation structure to the proven two-pass kernels
+        outs = [jnp.sum(acc_ref[a * GROUP:(a + 1) * GROUP, :], axis=0,
+                        keepdims=True) for a in range(3)]
+        out = jnp.concatenate(outs, axis=0)
+        if acc_lo_ref is not None:
+            outs_lo = [jnp.sum(acc_lo_ref[a * GROUP:(a + 1) * GROUP, :],
+                               axis=0, keepdims=True) for a in range(3)]
+            out = out + jnp.concatenate(outs_lo, axis=0)
+        out_ref[:] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("S", "interpret"))
+def bell_matvec_aligned(cols2: jnp.ndarray, vals2: jnp.ndarray,
+                        cmeta: jnp.ndarray, u_cm: jnp.ndarray, S: int,
+                        vals2_lo: jnp.ndarray = None,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Raw block-ELL matvec on chunk-aligned layouts.
+
+    ``vals2_lo`` (optional) fuses the fp32 hi/lo split operator into one
+    pass: the gather runs once, each value plane accumulates in its own
+    scratch, and the two row reductions add once at the end (any earlier
+    fp32 hi+lo add rounds the eps-level lo contribution away entirely).
+    """
+    Nt = cmeta.shape[0]
+    Np = u_cm.shape[1]
+    ng = cmeta.shape[-1] - 1
+    vspec = pl.BlockSpec((1, 9 * S, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, 1 + ng), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        vspec,
+    ]
+    ops = [cmeta, cols2.reshape(Nt, S, LANES),
+           vals2.reshape(Nt, 9 * S, LANES)]
+    split = vals2_lo is not None
+    if split:
+        in_specs.append(vspec)
+        ops.append(vals2_lo.reshape(Nt, 9 * S, LANES))
+    in_specs.append(pl.BlockSpec((3, Np), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    ops.append(u_cm)
+    return pl.pallas_call(
+        _bell_aligned_kernel(S, ng, split),
+        grid=(Nt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Np), u_cm.dtype),
+        scratch_shapes=(
+            [pltpu.VMEM((3 * GROUP, LANES), u_cm.dtype)] * (2 if split
+                                                            else 1)),
+        interpret=interpret,
+    )(*ops)
+
+
+def _sell_aligned_kernel(S: int, ng: int):
+    def kernel(cmeta_ref, cols_ref, w_ref, u_ref, out_ref, acc_ref):
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for g in range(ng):
+            # cmeta_ref is the (1, 1, 1+ng) BLOCK of this tile
+            off = cmeta_ref[0, 0, 1 + g] * LANES
+            chunk = u_ref[:, pl.ds(pl.multiple_of(off, LANES), LANES)]
+            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (GROUP, LANES))
+                    for a in range(3)]
+            ug = jnp.concatenate(rows, axis=0)
+            col8 = cols_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            idx8 = col8 - off
+            idx24 = jnp.concatenate([idx8, idx8, idx8], axis=0)
+            g24 = jnp.take_along_axis(ug, idx24, axis=1,
+                                      mode="promise_in_bounds")
+            w = w_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            for a in range(3):
+                acc_ref[a * GROUP:(a + 1) * GROUP, :] += \
+                    w * g24[a * GROUP:(a + 1) * GROUP, :]
+        outs = [jnp.sum(acc_ref[a * GROUP:(a + 1) * GROUP, :], axis=0,
+                        keepdims=True) for a in range(3)]
+        out_ref[:] = jnp.concatenate(outs, axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def sell_matvec_aligned(cols2: jnp.ndarray, w2: jnp.ndarray,
+                        cmeta: jnp.ndarray, u_cm: jnp.ndarray, S: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Scalar-weight chunk-aligned ELL apply (transfer rows)."""
+    Nt = cmeta.shape[0]
+    Np = u_cm.shape[1]
+    ng = cmeta.shape[-1] - 1
+    return pl.pallas_call(
+        _sell_aligned_kernel(S, ng),
+        grid=(Nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1 + ng), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Np), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, LANES), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, Nt * LANES), u_cm.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * GROUP, LANES), u_cm.dtype)],
+        interpret=interpret,
+    )(cmeta, cols2.reshape(Nt, S, LANES), w2.reshape(Nt, S, LANES),
+      u_cm)
+
+
+def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
+                     data: np.ndarray, n_rows: int, n_cols: int):
+    """Sort triplets into the chunk-aligned ELL device layouts.
+
+    Slot groups (GROUP consecutive slots) of each 128-node tile are
+    assigned one source chunk each; an entry of lane ``l`` with column
+    chunk ``c`` lands in one of that (tile, c) key's groups at its
+    within-(row, chunk) rank.  Padding slots point AT their group's
+    chunk (column ``c*128``) with zero data, so in-kernel indices are
+    always in [0, 128) and padded work is value-inert.
+
+    Returns dict with cols2, vals2 (plane-major for blocks, slot-major
+    for scalars), cmeta [Nt, 1, 1+ng] ([ngt, chunk_0..]), S, ng,
+    n_rows_p, n_cols_p.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    data = np.asarray(data)
+    order = np.lexsort((cols, rows))
+    rows, cols, data = rows[order], cols[order], data[order]
+    Np = _cdiv(max(n_rows, 1), LANES) * LANES
+    Nt = Np // LANES
+    n_cols_p = _cdiv(max(n_cols, 1), LANES) * LANES
+    NCH = n_cols_p // LANES
+    block = data.ndim == 3
+    nnz = len(rows)
+
+    tile = rows // LANES
+    chunk = cols // LANES
+    # rank within the (row, chunk) run (rows/cols sorted => runs are
+    # contiguous)
+    key_rc = rows * NCH + chunk
+    newrun = np.ones(nnz, bool)
+    newrun[1:] = key_rc[1:] != key_rc[:-1]
+    run_starts = np.flatnonzero(newrun)
+    run_id = np.cumsum(newrun) - 1
+    r_in_run = np.arange(nnz) - run_starts[run_id]
+    run_len = np.diff(np.append(run_starts, nnz))
+
+    # (tile, chunk) keys and their group counts
+    key_tc = tile * NCH + chunk
+    uk, inv = np.unique(key_tc, return_inverse=True)
+    uk_of_run = inv[run_starts]
+    kmax = np.zeros(len(uk), np.int64)
+    np.maximum.at(kmax, uk_of_run, run_len)
+    ngroups_k = -(-kmax // GROUP)
+    uk_tile = uk // NCH
+    uk_chunk = uk % NCH
+
+    # per-key group base within its tile
+    gb = np.zeros(len(uk), np.int64)
+    np.cumsum(ngroups_k[:-1], out=gb[1:])
+    tile_first = np.ones(len(uk), bool)
+    tile_first[1:] = uk_tile[1:] != uk_tile[:-1]
+    first_idx = np.flatnonzero(tile_first)
+    tile_of_key = np.cumsum(tile_first) - 1
+    gb_local = gb - gb[first_idx][tile_of_key]
+
+    ngt = np.bincount(uk_tile, weights=ngroups_k,
+                      minlength=Nt).astype(np.int64)
+    ng = max(int(ngt.max()) if Nt else 1, 1)
+    S = ng * GROUP
+
+    # per-(tile, group) chunk table
+    cgrp = np.zeros((Nt, ng), np.int64)
+    tot = int(ngroups_k.sum())
+    krep = np.repeat(np.arange(len(uk)), ngroups_k)
+    kstart = np.concatenate([[0], np.cumsum(ngroups_k)[:-1]])
+    within = np.arange(tot) - kstart[krep]
+    cgrp[uk_tile[krep], gb_local[krep] + within] = uk_chunk[krep]
+
+    # slot assignment + padding fill (each pad slot points AT its own
+    # group's chunk so in-kernel idx stays in [0, 128))
+    slot = gb_local[inv] * GROUP + r_in_run
+    fill_t = np.repeat(cgrp, GROUP, axis=1) * LANES        # [Nt, S]
+    cols_full = np.repeat(fill_t, LANES, axis=0)           # [Np, S]
+    vals_full = np.zeros((Np, S, 3, 3) if block else (Np, S),
+                         data.dtype)
+    cols_full[rows, slot] = cols
+    vals_full[rows, slot] = data
+
+    cmeta = np.zeros((Nt, 1, 1 + ng), np.int32)
+    cmeta[:, 0, 0] = ngt
+    cmeta[:, 0, 1:] = cgrp
+
+    cols2 = cols_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
+        .reshape(Nt * S, LANES).astype(np.int32)
+    if block:
+        vals2 = vals_full.reshape(Nt, LANES, S, 9) \
+            .transpose(0, 3, 2, 1).reshape(Nt * 9 * S, LANES)
+    else:
+        vals2 = vals_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
+            .reshape(Nt * S, LANES)
+    return {"cols2": cols2, "vals2": vals2, "cmeta": cmeta,
+            "S": S, "ng": ng, "n_rows_p": Np, "n_cols_p": n_cols_p}
+
+
+# ---------------------------------------------------------------------------
 # Host-side packing: (rows, cols, data) triplets -> the device layouts
 # ---------------------------------------------------------------------------
 
