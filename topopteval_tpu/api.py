@@ -283,9 +283,13 @@ class SolveResult:
 
 
 def _default_config() -> SolverConfig:
-    # default accuracy posture = reference's direct solve; block-Jacobi PCG
-    # at tight tolerance reproduces it to <=1e-8 relative energy
-    return SolverConfig(method="cg", preconditioner="block_diagonal",
+    # default posture = the reference's: solve_system IS a direct solve
+    # (FiniteElementAnalysis.jl:547) and the adaptive ladder switches to
+    # Krylov at 50k dofs (FiniteElementAnalysis.jl:574).  method="auto"
+    # reproduces exactly that (api resolves it by ADAPTIVE_DOF_THRESHOLD)
+    # — on-chip fp32 block-Jacobi CG at default tolerances cannot
+    # converge small stiff fixtures the reference solves instantly.
+    return SolverConfig(method="auto", preconditioner="block_diagonal",
                         tolerance=1e-10, max_iterations=20000, verbose=False)
 
 

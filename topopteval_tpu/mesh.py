@@ -321,6 +321,13 @@ class Mesh:
         if jnp is None:  # pragma: no cover
             raise RuntimeError("jax is not available")
         dtype = dtype or jnp.float32
+        if jnp.dtype(dtype) == jnp.float64:
+            import jax as _jax
+            if not _jax.config.jax_enable_x64:
+                # fp64 is unavailable (TPU default) — downgrade cleanly
+                # instead of letting every asarray emit a truncation
+                # warning for the same fact
+                dtype = jnp.float32
         Cp = pad_cells_to or _round_up(max(self.n_cells, 1), cell_align)
         Np = pad_nodes_to or self.n_nodes
         if Cp < self.n_cells or Np < self.n_nodes:
