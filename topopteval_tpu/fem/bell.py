@@ -613,6 +613,39 @@ def _transfer_from_triplets(p_rows, p_cols, p_w, n_fine, n_coarse, dtype,
 # ---------------------------------------------------------------------------
 
 
+def _narrow_smoother_levels(levels, dtype, smoother_dtype):
+    """Downcast V-cycle level operator values and transfer weights to
+    ``smoother_dtype`` (bf16 for fp32 problems by default).
+
+    The smoother/transfer coefficients shape only the PRECONDITIONER —
+    the CG fixed point is owned by the fp32 hi/lo split system operator
+    and the fp64 refinement residuals — so halving their HBM bytes costs
+    a few extra iterations at most while the V-cycle (~4.5 fine matvecs
+    of the solve's ~5.5) moves half the data.  Kernels upcast to the
+    vector dtype at multiply time; block inverses and the dense coarse
+    inverse stay at solve precision (small, numerically load-bearing).
+    """
+    if smoother_dtype is None:
+        return levels
+    sd = jnp.dtype(smoother_dtype)
+    out = []
+    for lvl in levels:
+        op = dataclasses.replace(lvl.op, vals2=lvl.op.vals2.astype(sd))
+        t = lvl.transfer
+        if t is not None:
+            t = dataclasses.replace(t, p_w2=t.p_w2.astype(sd),
+                                    r_w2=t.r_w2.astype(sd))
+        out.append(dataclasses.replace(lvl, op=op, transfer=t))
+    return out
+
+
+def _resolve_smoother_dtype(dtype, smoother_dtype):
+    if smoother_dtype == "auto":
+        return (jnp.bfloat16 if jnp.dtype(dtype) == jnp.float32
+                else None)
+    return smoother_dtype
+
+
 def build_bell_multigrid(
         mesh: Mesh, lam, mu,
         free_mask: Optional[np.ndarray] = None,
@@ -624,6 +657,7 @@ def build_bell_multigrid(
         use_pallas: Optional[bool] = None,
         order: int = 2,
         verbose: bool = False,
+        smoother_dtype="auto",
 ) -> Tuple[BellSystem, BellMG, dict]:
     """Assemble the explicit BELL hierarchy for an arbitrary solid mesh.
 
@@ -839,8 +873,10 @@ def build_bell_multigrid(
     coarse_inv = jnp.asarray(inv_cm_h)
     t0 = tick("coarse_pinv", t0)
 
-    mg = BellMG(tuple(levels[:-1]) if len(levels) > 1 else tuple(levels),
-                coarse_inv, nu=nu, smoother=smoother)
+    vlevels = levels[:-1] if len(levels) > 1 else levels
+    vlevels = _narrow_smoother_levels(
+        vlevels, dtype, _resolve_smoother_dtype(dtype, smoother_dtype))
+    mg = BellMG(tuple(vlevels), coarse_inv, nu=nu, smoother=smoother)
     # NOTE: when len(levels) > 1 the last BellLevel is represented only by
     # coarse_inv (same convention as fem/multigrid).
     system = BellSystem(fine, perm, N, dtype)
@@ -955,7 +991,8 @@ def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
 
 
 def load_hierarchy(path: str, dtype,
-                   use_pallas: Optional[bool] = None
+                   use_pallas: Optional[bool] = None,
+                   smoother_dtype="auto"
                    ) -> Tuple[BellSystem, BellMG, dict]:
     z = np.load(path, allow_pickle=False)
     if use_pallas is None:
@@ -990,9 +1027,13 @@ def load_hierarchy(path: str, dtype,
         levels.append(BellLevel(
             op, jnp.asarray(z[f"L{i}_binv9"], dtype), transfer,
             None if np.isnan(lam) else lam))
+    # the SYSTEM operator keeps full solve precision — only the V-cycle
+    # copies narrow (see _narrow_smoother_levels)
+    fine = levels[0].op
+    levels = _narrow_smoother_levels(
+        levels, dtype, _resolve_smoother_dtype(dtype, smoother_dtype))
     mg = BellMG(tuple(levels), jnp.asarray(z["coarse_inv"], dtype),
                 nu=int(z["nu"]), smoother=bytes(z["smoother"]).decode())
-    fine = levels[0].op
     if "fine_vals2_lo" in z:
         # restore the fp64-accurate split system operator (the V-cycle
         # levels stay hi-only — see build_bell_multigrid)

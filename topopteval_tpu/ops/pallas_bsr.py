@@ -313,7 +313,10 @@ def _bell_aligned_kernel(S: int, ng: int, split: bool):
                     gb_ = g24[b * GROUP:(b + 1) * GROUP, :]
                     sl = slice((3 * a + b) * S + g * GROUP,
                                (3 * a + b) * S + (g + 1) * GROUP)
-                    term = vals_ref[0, sl, :] * gb_
+                    # vals may be stored narrower than u (bf16 smoother
+                    # levels): DMA the narrow bytes, multiply wide
+                    v = vals_ref[0, sl, :].astype(gb_.dtype)
+                    term = v * gb_
                     t = term if t is None else t + term
                     if vals_lo_ref is not None:
                         # the lo plane accumulates in its OWN scratch:
@@ -322,7 +325,8 @@ def _bell_aligned_kernel(S: int, ng: int, split: bool):
                         # hi+lo add in fp32 rounds straight back to hi
                         # and silently annihilates the split (seen on
                         # chip: bit-identical output with/without lo)
-                        term_lo = vals_lo_ref[0, sl, :] * gb_
+                        term_lo = vals_lo_ref[0, sl, :].astype(
+                            gb_.dtype) * gb_
                         t_lo = (term_lo if t_lo is None
                                 else t_lo + term_lo)
                 acc_ref[a * GROUP:(a + 1) * GROUP, :] += t
@@ -405,7 +409,7 @@ def _sell_aligned_kernel(S: int, ng: int):
             idx24 = jnp.concatenate([idx8, idx8, idx8], axis=0)
             g24 = jnp.take_along_axis(ug, idx24, axis=1,
                                       mode="promise_in_bounds")
-            w = w_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            w = w_ref[0, g * GROUP:(g + 1) * GROUP, :].astype(ug.dtype)
             for a in range(3):
                 acc_ref[a * GROUP:(a + 1) * GROUP, :] += \
                     w * g24[a * GROUP:(a + 1) * GROUP, :]
