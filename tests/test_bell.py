@@ -97,15 +97,17 @@ def test_sell_kernels_match_scipy():
     np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
 
 
-def test_bell_aligned_kernels_match_scipy():
+@pytest.mark.parametrize("group", [8, 4])
+def test_bell_aligned_kernels_match_scipy(group):
     """Chunk-aligned layout (the production fast path, round-3): packer +
     interpret-mode kernel + reference twin all equal scipy, including the
-    fused hi/lo split pass."""
+    fused hi/lo split pass.  group=4 is the low-padding layout (same
+    kernels; G derived as S//ng)."""
     from topopteval_tpu.ops.pallas_bsr import (bell_matvec_aligned,
                                                pack_ell_aligned)
     N = 300
     rows, cols, blocks, K = _random_bsr(N)
-    pk = pack_ell_aligned(rows, cols, blocks, N, N)
+    pk = pack_ell_aligned(rows, cols, blocks, N, N, group=group)
     Np = pk["n_rows_p"]
     rng = np.random.default_rng(1)
     u = np.zeros((3, Np))
@@ -122,7 +124,7 @@ def test_bell_aligned_kernels_match_scipy():
     np.testing.assert_allclose(o1, truth, rtol=1e-12, atol=1e-12)
     # fused split: (hi + lo) in one pass == hi matvec + lo matvec
     lo = _random_bsr(N, seed=7)[2] * 1e-3
-    pk_lo = pack_ell_aligned(rows, cols, lo, N, N)
+    pk_lo = pack_ell_aligned(rows, cols, lo, N, N, group=group)
     o2 = np.asarray(bell_matvec_aligned(
         c2, v2, cm, u_d, pk["S"],
         vals2_lo=jnp.asarray(pk_lo["vals2"]), interpret=True))[:, :N]
@@ -132,7 +134,8 @@ def test_bell_aligned_kernels_match_scipy():
     np.testing.assert_allclose(o2, truth2, rtol=1e-12, atol=1e-12)
 
 
-def test_sell_aligned_kernels_match_scipy():
+@pytest.mark.parametrize("group", [8, 4])
+def test_sell_aligned_kernels_match_scipy(group):
     from topopteval_tpu.ops.pallas_bsr import (pack_ell_aligned,
                                                sell_matvec_aligned)
     N, Nc, nnz = 300, 150, 1200
@@ -141,7 +144,7 @@ def test_sell_aligned_kernels_match_scipy():
     pcol = np.clip(prow // 2 + rng.integers(-10, 11, nnz), 0, Nc - 1)
     w = rng.standard_normal(nnz)
     P = sp.coo_matrix((w, (prow, pcol)), shape=(N, Nc)).tocsr()
-    pp = pack_ell_aligned(prow, pcol, w, N, Nc)
+    pp = pack_ell_aligned(prow, pcol, w, N, Nc, group=group)
     ncp = pp["n_cols_p"]
     uc = np.zeros((3, ncp))
     uc[:, :Nc] = rng.standard_normal((3, Nc))

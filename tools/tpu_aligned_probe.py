@@ -133,6 +133,46 @@ def main():
         log(f"transfers: prolong rel err {perr:.2e}, restrict {rerr:.2e} "
             f"({'OK' if max(perr, rerr) < 1e-5 else 'MISMATCH'})")
 
+    # --- group=4 packing of the same fine matrix: parity + timing A/B ------
+    # (the low-padding layout: S drops ~45% on RCM-banded FEM matrices;
+    # the Mosaic risk is the [3*4, 128] scratch slicing at sub-sublane
+    # offsets, which only the real chip can validate)
+    import time
+
+    from topopteval_tpu.fem.bell import (_permute_triplets,
+                                         assemble_bsr_triplets, rcm_order)
+    rows_m, cols_m, blocks_m = assemble_bsr_triplets(
+        mesh, np.full(mesh.n_cells, 0.576923),
+        np.full(mesh.n_cells, 0.384615), 2)
+    perm_m = rcm_order(rows_m, cols_m, mesh.n_nodes)
+    rows_m, cols_m, blocks_m = _permute_triplets(rows_m, cols_m,
+                                                 blocks_m, perm_m)
+    x32 = np.asarray(rng.standard_normal((3, A.n_rows_p)), np.float32)
+    outs_g = {}
+    for gsz in (8, 4):
+        pkg = pack_ell_aligned(rows_m, cols_m,
+                               blocks_m.astype(np.float32),
+                               mesh.n_nodes, mesh.n_nodes, group=gsz)
+        cg_ = jnp.asarray(pkg["cols2"])
+        vg_ = jnp.asarray(pkg["vals2"])
+        mg_ = jnp.asarray(pkg["cmeta"])
+        ug_ = jnp.asarray(x32[:, :pkg["n_rows_p"]])
+        o = bell_matvec_aligned(cg_, vg_, mg_, ug_, pkg["S"])
+        o.block_until_ready()
+        t0 = time.perf_counter()
+        reps = 30
+        for _ in range(reps):
+            o = bell_matvec_aligned(cg_, vg_, mg_, ug_, pkg["S"])
+        o.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps * 1e3
+        outs_g[gsz] = (np.asarray(o, np.float64), dt, pkg["S"])
+        log(f"group={gsz}: S={pkg['S']} matvec {dt:.2f} ms")
+    gerr = (np.abs(outs_g[4][0] - outs_g[8][0]).max()
+            / max(np.abs(outs_g[8][0]).max(), 1e-30))
+    log(f"group4 vs group8 parity: rel err {gerr:.2e} "
+        f"({'OK' if gerr < 1e-5 else 'MISMATCH'}); "
+        f"speedup {outs_g[8][1] / outs_g[4][1]:.2f}x")
+
     # V-cycle apply parity (pallas MG vs reference-twin MG, same arrays)
     r = jnp.asarray(rng.standard_normal(A.n_dofs), jnp.float32)
     z_pal = np.asarray(mg.apply(r))

@@ -285,6 +285,8 @@ def sell_matvec_reference(cols2: jnp.ndarray, w2: jnp.ndarray,
 
 
 def _bell_aligned_kernel(S: int, ng: int, split: bool):
+    G = S // ng          # slots per group (the pack's `group` param)
+
     def kernel(cmeta_ref, cols_ref, *args):
         if split:
             (vals_ref, vals_lo_ref, u_ref, out_ref, acc_ref,
@@ -299,10 +301,10 @@ def _bell_aligned_kernel(S: int, ng: int, split: bool):
             # cmeta_ref is the (1, 1, 1+ng) BLOCK of this tile
             off = cmeta_ref[0, 0, 1 + g] * LANES
             chunk = u_ref[:, pl.ds(pl.multiple_of(off, LANES), LANES)]
-            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (GROUP, LANES))
+            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (G, LANES))
                     for a in range(3)]
             ug = jnp.concatenate(rows, axis=0)            # [3G, 128]
-            col8 = cols_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            col8 = cols_ref[0, g * G:(g + 1) * G, :]
             idx8 = col8 - off                # in [0, 128) by construction
             idx24 = jnp.concatenate([idx8, idx8, idx8], axis=0)
             g24 = jnp.take_along_axis(ug, idx24, axis=1,
@@ -310,9 +312,9 @@ def _bell_aligned_kernel(S: int, ng: int, split: bool):
             for a in range(3):
                 t = t_lo = None
                 for b in range(3):
-                    gb_ = g24[b * GROUP:(b + 1) * GROUP, :]
-                    sl = slice((3 * a + b) * S + g * GROUP,
-                               (3 * a + b) * S + (g + 1) * GROUP)
+                    gb_ = g24[b * G:(b + 1) * G, :]
+                    sl = slice((3 * a + b) * S + g * G,
+                               (3 * a + b) * S + (g + 1) * G)
                     # vals may be stored narrower than u (bf16 smoother
                     # levels): DMA the narrow bytes, multiply wide
                     v = vals_ref[0, sl, :].astype(gb_.dtype)
@@ -329,16 +331,16 @@ def _bell_aligned_kernel(S: int, ng: int, split: bool):
                             gb_.dtype) * gb_
                         t_lo = (term_lo if t_lo is None
                                 else t_lo + term_lo)
-                acc_ref[a * GROUP:(a + 1) * GROUP, :] += t
+                acc_ref[a * G:(a + 1) * G, :] += t
                 if acc_lo_ref is not None:
-                    acc_lo_ref[a * GROUP:(a + 1) * GROUP, :] += t_lo
+                    acc_lo_ref[a * G:(a + 1) * G, :] += t_lo
         # reduce each plane fully, THEN add once per output element —
         # identical summation structure to the proven two-pass kernels
-        outs = [jnp.sum(acc_ref[a * GROUP:(a + 1) * GROUP, :], axis=0,
+        outs = [jnp.sum(acc_ref[a * G:(a + 1) * G, :], axis=0,
                         keepdims=True) for a in range(3)]
         out = jnp.concatenate(outs, axis=0)
         if acc_lo_ref is not None:
-            outs_lo = [jnp.sum(acc_lo_ref[a * GROUP:(a + 1) * GROUP, :],
+            outs_lo = [jnp.sum(acc_lo_ref[a * G:(a + 1) * G, :],
                                axis=0, keepdims=True) for a in range(3)]
             out = out + jnp.concatenate(outs_lo, axis=0)
         out_ref[:] = out
@@ -388,32 +390,34 @@ def bell_matvec_aligned(cols2: jnp.ndarray, vals2: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Np), u_cm.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((3 * GROUP, LANES), u_cm.dtype)] * (2 if split
-                                                            else 1)),
+            [pltpu.VMEM((3 * (S // ng), LANES), u_cm.dtype)]
+            * (2 if split else 1)),
         interpret=interpret,
     )(*ops)
 
 
 def _sell_aligned_kernel(S: int, ng: int):
+    G = S // ng
+
     def kernel(cmeta_ref, cols_ref, w_ref, u_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
         for g in range(ng):
             # cmeta_ref is the (1, 1, 1+ng) BLOCK of this tile
             off = cmeta_ref[0, 0, 1 + g] * LANES
             chunk = u_ref[:, pl.ds(pl.multiple_of(off, LANES), LANES)]
-            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (GROUP, LANES))
+            rows = [jnp.broadcast_to(chunk[a:a + 1, :], (G, LANES))
                     for a in range(3)]
             ug = jnp.concatenate(rows, axis=0)
-            col8 = cols_ref[0, g * GROUP:(g + 1) * GROUP, :]
+            col8 = cols_ref[0, g * G:(g + 1) * G, :]
             idx8 = col8 - off
             idx24 = jnp.concatenate([idx8, idx8, idx8], axis=0)
             g24 = jnp.take_along_axis(ug, idx24, axis=1,
                                       mode="promise_in_bounds")
-            w = w_ref[0, g * GROUP:(g + 1) * GROUP, :].astype(ug.dtype)
+            w = w_ref[0, g * G:(g + 1) * G, :].astype(ug.dtype)
             for a in range(3):
-                acc_ref[a * GROUP:(a + 1) * GROUP, :] += \
-                    w * g24[a * GROUP:(a + 1) * GROUP, :]
-        outs = [jnp.sum(acc_ref[a * GROUP:(a + 1) * GROUP, :], axis=0,
+                acc_ref[a * G:(a + 1) * G, :] += \
+                    w * g24[a * G:(a + 1) * G, :]
+        outs = [jnp.sum(acc_ref[a * G:(a + 1) * G, :], axis=0,
                         keepdims=True) for a in range(3)]
         out_ref[:] = jnp.concatenate(outs, axis=0)
 
@@ -444,17 +448,19 @@ def sell_matvec_aligned(cols2: jnp.ndarray, w2: jnp.ndarray,
         out_specs=pl.BlockSpec((3, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, Nt * LANES), u_cm.dtype),
-        scratch_shapes=[pltpu.VMEM((3 * GROUP, LANES), u_cm.dtype)],
+        scratch_shapes=[pltpu.VMEM((3 * (S // ng), LANES), u_cm.dtype)],
         interpret=interpret,
     )(cmeta, cols2.reshape(Nt, S, LANES), w2.reshape(Nt, S, LANES),
       u_cm)
 
 
 def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
-                     data: np.ndarray, n_rows: int, n_cols: int):
+                     data: np.ndarray, n_rows: int, n_cols: int,
+                     group: int = GROUP):
     """Sort triplets into the chunk-aligned ELL device layouts.
 
-    Slot groups (GROUP consecutive slots) of each 128-node tile are
+    Slot groups (``group`` consecutive slots, kernels derive it as
+    ``S // ng``) of each 128-node tile are
     assigned one source chunk each; an entry of lane ``l`` with column
     chunk ``c`` lands in one of that (tile, c) key's groups at its
     within-(row, chunk) rank.  Padding slots point AT their group's
@@ -495,7 +501,7 @@ def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
     uk_of_run = inv[run_starts]
     kmax = np.zeros(len(uk), np.int64)
     np.maximum.at(kmax, uk_of_run, run_len)
-    ngroups_k = -(-kmax // GROUP)
+    ngroups_k = -(-kmax // group)
     uk_tile = uk // NCH
     uk_chunk = uk % NCH
 
@@ -511,7 +517,7 @@ def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
     ngt = np.bincount(uk_tile, weights=ngroups_k,
                       minlength=Nt).astype(np.int64)
     ng = max(int(ngt.max()) if Nt else 1, 1)
-    S = ng * GROUP
+    S = ng * group
 
     # per-(tile, group) chunk table
     cgrp = np.zeros((Nt, ng), np.int64)
@@ -523,8 +529,8 @@ def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
 
     # slot assignment + padding fill (each pad slot points AT its own
     # group's chunk so in-kernel idx stays in [0, 128))
-    slot = gb_local[inv] * GROUP + r_in_run
-    fill_t = np.repeat(cgrp, GROUP, axis=1) * LANES        # [Nt, S]
+    slot = gb_local[inv] * group + r_in_run
+    fill_t = np.repeat(cgrp, group, axis=1) * LANES        # [Nt, S]
     cols_full = np.repeat(fill_t, LANES, axis=0)           # [Np, S]
     vals_full = np.zeros((Np, S, 3, 3) if block else (Np, S),
                          data.dtype)
