@@ -44,6 +44,17 @@ from ..ops.pallas_bsr import (LANES, bell_matvec_aligned,
 _HIER_VERSION = 6     # bump to invalidate on-disk hierarchy caches
 
 
+def _pack_group() -> int:
+    """Slot-group size for the aligned ELL layouts (TOPOPT_BELL_GROUP).
+
+    8 = sublane-aligned (default); 4 halves the ELL padding on banded
+    FEM matrices (S ~45% smaller → ~45% less matvec DMA) at the cost of
+    sub-sublane scratch slicing in the kernels.  Enters the hierarchy
+    cache key — layouts with different group sizes are different caches.
+    """
+    return int(os.environ.get("TOPOPT_BELL_GROUP", "8"))
+
+
 def _cdiv(a, b):
     return -(-a // b)
 
@@ -563,7 +574,8 @@ def _bell_from_triplets(rows, cols, blocks, n_nodes, mask_il, dtype,
     arrays (exact bytes of the device copies) so :func:`save_hierarchy`
     never has to pull device arrays back over a slow transport (the
     axon tunnel made that D2H 100x the rest of the build)."""
-    packed = pack_ell_aligned(rows, cols, blocks, n_nodes, n_nodes)
+    packed = pack_ell_aligned(rows, cols, blocks, n_nodes, n_nodes,
+                              group=_pack_group())
     vals64 = np.asarray(packed["vals2"], np.float64)
     np_dt = jnp.dtype(dtype)
     vals_lo_h = None
@@ -588,8 +600,10 @@ def _bell_from_triplets(rows, cols, blocks, n_nodes, mask_il, dtype,
 def _transfer_from_triplets(p_rows, p_cols, p_w, n_fine, n_coarse, dtype,
                             use_pallas: bool):
     """Returns ``(transfer, host)`` — see :func:`_bell_from_triplets`."""
-    pp = pack_ell_aligned(p_rows, p_cols, p_w, n_fine, n_coarse)
-    rp = pack_ell_aligned(p_cols, p_rows, p_w, n_coarse, n_fine)
+    pp = pack_ell_aligned(p_rows, p_cols, p_w, n_fine, n_coarse,
+                          group=_pack_group())
+    rp = pack_ell_aligned(p_cols, p_rows, p_w, n_coarse, n_fine,
+                          group=_pack_group())
     np_dt = jnp.dtype(dtype)
     host = {"pcols": pp["cols2"], "pw": np.asarray(pp["vals2"], np_dt),
             "pcmeta": pp["cmeta"],
@@ -929,6 +943,7 @@ def hierarchy_cache_key(mesh: Mesh, lam, mu, free_mask, dtype,
     h.update(str(jnp.dtype(dtype)).encode())
     h.update(str(order).encode())
     h.update(str(_HIER_VERSION).encode())
+    h.update(str(_pack_group()).encode())
     return h.hexdigest()[:24]
 
 
