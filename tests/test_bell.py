@@ -134,6 +134,30 @@ def test_bell_aligned_kernels_match_scipy(group):
     np.testing.assert_allclose(o2, truth2, rtol=1e-12, atol=1e-12)
 
 
+def test_bell_aligned_bf16_vals_upcast():
+    """bf16-stored values (smoother levels) multiply at the vector dtype:
+    kernel output matches the reference twin on identical bf16 arrays to
+    fp32 roundoff."""
+    from topopteval_tpu.ops.pallas_bsr import (bell_matvec_aligned,
+                                               pack_ell_aligned)
+    N = 300
+    rows, cols, blocks, _ = _random_bsr(N)
+    pk = pack_ell_aligned(rows, cols, blocks, N, N)
+    v_bf = jnp.asarray(pk["vals2"], jnp.bfloat16)
+    c2 = jnp.asarray(pk["cols2"])
+    cm = jnp.asarray(pk["cmeta"])
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((3, pk["n_rows_p"])),
+                    jnp.float32)
+    ref = np.asarray(bell_matvec_reference(c2, v_bf, u, pk["S"]),
+                     np.float64)
+    out = np.asarray(bell_matvec_aligned(c2, v_bf, cm, u, pk["S"],
+                                         interpret=True), np.float64)
+    err = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-30)
+    assert err < 1e-5
+    assert out.dtype == np.float64 and u.dtype == jnp.float32
+
+
 @pytest.mark.parametrize("group", [8, 4])
 def test_sell_aligned_kernels_match_scipy(group):
     from topopteval_tpu.ops.pallas_bsr import (pack_ell_aligned,
