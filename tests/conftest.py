@@ -26,6 +26,21 @@ from topopteval_tpu.utils import set_verbosity
 set_verbosity(False)
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _isolated_mg_cache(tmp_path_factory):
+    """Per-session hierarchy cache dir: deterministic (always cold at
+    session start, warm within the session), and no stale .npz state
+    leaks into the repo's .topopt_mg_cache across code changes."""
+    d = tmp_path_factory.mktemp("mg_cache")
+    old = os.environ.get("TOPOPT_MG_CACHE_DIR")
+    os.environ["TOPOPT_MG_CACHE_DIR"] = str(d)
+    yield
+    if old is None:
+        os.environ.pop("TOPOPT_MG_CACHE_DIR", None)
+    else:
+        os.environ["TOPOPT_MG_CACHE_DIR"] = old
+
+
 @pytest.fixture(scope="session")
 def data_dir():
     return os.path.join(os.path.dirname(__file__), "..", "data")

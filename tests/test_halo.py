@@ -92,10 +92,10 @@ def test_halo_at_scale_100k_dofs():
     tip = nodes_at_plane(mesh, 0, 9.0)
     f[tip * 3 + 2] = -1.0 / tip.size
     b_l = hop.to_local(f) * hop.free_mask
-    res = cg(hop, b_l, M=hop.block_jacobi(), tol=1e-10, maxiter=120)
+    res = cg(hop, b_l, M=hop.block_jacobi(), tol=1e-10, maxiter=60)
     b = jnp.asarray(f) * op.free_mask
     M0 = block_jacobi_preconditioner(op.node_blocks_raw(), op.free_mask)
-    res0 = cg(op, b, M=M0, tol=1e-10, maxiter=120)
+    res0 = cg(op, b, M=M0, tol=1e-10, maxiter=60)
     assert int(res.niter) == int(res0.niter)
     x = hop.from_local(res.x)
     x0 = np.asarray(res0.x)
