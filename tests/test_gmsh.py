@@ -275,3 +275,36 @@ def test_large_ascii_import_is_vectorized(tmp_path):
     assert mesh.n_cells == gen.n_cells
     np.testing.assert_array_equal(mesh.conn, gen.conn)
     assert dt < 30, f"import took {dt:.1f}s — parser has regressed"
+
+
+def test_v2_skips_unknown_and_second_order_types(tmp_path):
+    """Element types outside the supported set (quad8=16, hex20=17,
+    prism15=18, ...) must skip with a warning, never fail the import
+    (ADVICE r3: the vectorized walk used to raise NotImplementedError)."""
+    n20 = " ".join(str(1 + (i % 5)) for i in range(20))
+    n8q = " ".join(str(1 + (i % 5)) for i in range(8))
+    p = tmp_path / "mixed.msh"
+    p.write_text(f"""$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+5
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0 0 1
+5 1 1 1
+$EndNodes
+$Elements
+5
+1 4 2 7 1 1 2 3 4
+2 17 2 7 1 {n20}
+3 16 2 7 1 {n8q}
+4 4 2 7 1 2 3 4 5
+5 99 2 7 1 1 2
+$EndElements
+""")
+    mesh = read_msh_mesh(str(p))
+    assert mesh.element_type == "tet4"
+    assert mesh.n_cells == 2
+    np.testing.assert_array_equal(mesh.conn[1], [1, 2, 3, 4])

@@ -410,7 +410,8 @@ def _get_multigrid(problem: Problem):
 
 
 def _solve_system_sharded(problem: Problem, config: SolverConfig,
-                          devices, timer: PhaseTimer) -> SolveResult:
+                          devices, timer: PhaseTimer,
+                          x0: Optional[np.ndarray] = None) -> SolveResult:
     """Multi-device MG-PCG (round-2 VERDICT #3: the sharded fast solver).
 
     DOF vectors are node-partitioned slabs over the ``elem`` mesh axis;
@@ -470,8 +471,10 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
         # scheme as _refined_cg; layouts converted host-side per pass)
         rn0 = float(np.linalg.norm(f64_il))
         eps = config.tolerance + config.tolerance * rn0
-        x64 = np.zeros(n)
+        x64 = (np.zeros(n) if x0 is None
+               else np.asarray(x0, np.float64)[:n] * mask)
         total = 0
+        hists = []
         rn = rn0
 
         def mv64(x_il):
@@ -487,18 +490,36 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
             s = rn
             rhs = hop.to_local(r64 / s) * hop.free_mask
             res = cg(hop, rhs, M=M, tol=max(config.tolerance, 1e-6),
-                     maxiter=config.max_iterations - total)
+                     maxiter=config.max_iterations - total,
+                     record_history=config.history)
             ni = int(res.niter)
             if ni == 0:
                 break
             x64 = x64 + s * hop.from_local(np.asarray(res.x, np.float64))
             total += ni
+            if config.history and res.history is not None:
+                h = np.asarray(res.history)[: ni + 1] * s
+                hists.append(h if not hists else h[1:])
         else:
             rn = float(np.linalg.norm(f64_il - mv64(x64)))
+        if config.history and hists:
+            history = np.concatenate(hists)
         u_il64 = x64
         niter, rnorm, conv = total, rn, rn <= eps
     else:
-        res = cg(hop, f_slab, M=M, tol=config.tolerance,
+        tol = config.tolerance
+        if jnp.dtype(problem.dtype) == jnp.float32 and tol < 1e-6:
+            # same clamp as the single-device fp32 iterative routes: the
+            # non-MG sharded branch has no fp64 refinement wrapper, so an
+            # fp64-grade tolerance would burn max_iterations (ADVICE r3)
+            log(f"Note: clamping tolerance {tol:g} -> 1e-6 for "
+                "float32 compute")
+            tol = 1e-6
+        x0_slab = None
+        if x0 is not None:
+            x0_slab = (hop.to_local(np.asarray(x0, np.float64)[:n] * mask)
+                       * hop.free_mask)
+        res = cg(hop, f_slab, x0=x0_slab, M=M, tol=tol,
                  maxiter=config.max_iterations,
                  record_history=config.history)
         niter = int(res.niter)
@@ -511,7 +532,7 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
             # iterative paths (round-2 VERDICT weak #3)
             eta, ffrac = _backward_error(hop, f_slab, res.x)
             eps_dt = float(jnp.finfo(problem.dtype).eps)
-            if eta > 100.0 * eps_dt + 100.0 * config.tolerance * ffrac:
+            if eta > 100.0 * eps_dt + 100.0 * tol * ffrac:
                 print_warning(
                     f"sharded solution FAILED backward-error "
                     f"verification (eta={eta:.2e})")
@@ -676,7 +697,8 @@ def solve_system(problem: Problem,
     timer = PhaseTimer()
     config = config or _default_config()
     if devices is not None:
-        return _solve_system_sharded(problem, config, devices, timer)
+        return _solve_system_sharded(problem, config, devices, timer,
+                                     x0=x0)
 
     method = config.method
     if method == "auto":
@@ -822,6 +844,10 @@ def solve_system(problem: Problem,
                 niter, rnorm, conv = 1, 0.0, True
                 method = "direct(verification-fallback)"
                 is_cm = False      # _host_direct returns interleaved u
+                # the rejected refined solve's energy/history must not
+                # be reported against the direct-solve u (ADVICE r3)
+                energy64 = None
+                history = None
             else:
                 conv = False
 

@@ -40,7 +40,13 @@ _TYPE_DIM = {"line2": 1, "tri3": 2, "quad4": 2, "tet4": 3, "hex8": 3,
 
 #: gmsh canonical node counts (for record-skipping of unsupported types)
 _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
-                8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14}
+                8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18, 14: 14,
+                # second-order and higher standard gmsh types — imported
+                # meshes containing them are skipped with a warning, not
+                # rejected (ADVICE r3: quad8/hex20/prism15 used to raise)
+                16: 8, 17: 20, 18: 15, 19: 13, 20: 9, 21: 10, 22: 12,
+                23: 15, 24: 15, 25: 21, 26: 4, 27: 5, 28: 6, 29: 20,
+                30: 35, 31: 56}
 
 _SOLID = ("tet4", "hex8", "tet10")
 
@@ -177,20 +183,15 @@ def _parse_v2(sec):
     elines = sec["Elements"]
     ne = int(elines[0])
     flat = _ints(elines[1: 1 + ne])
-    starts = np.empty(ne, np.int64)
-    gtypes = np.empty(ne, np.int64)
-    ntags_a = np.empty(ne, np.int64)
-    p = 0
-    for i in range(ne):
-        g = flat[p + 1]
-        nt = flat[p + 2]
-        starts[i] = p
-        gtypes[i] = g
-        ntags_a[i] = nt
-        k = _GMSH_NNODES.get(int(g))
-        if k is None:
-            raise NotImplementedError(f".msh: unknown element type {g}")
-        p += 3 + nt + k
+    # v2 ASCII records are one per line, so record boundaries come from
+    # per-line token counts — no node-count table needed to walk the
+    # stream, and records of ANY element type (known or not) parse
+    # (ADVICE r3: the table-driven walk raised on types it didn't know)
+    tok = np.fromiter((len(ln.split()) for ln in elines[1: 1 + ne]),
+                      np.int64, count=ne)
+    starts = np.concatenate([[0], np.cumsum(tok[:-1])])
+    gtypes = flat[starts + 1]
+    ntags_a = flat[starts + 2]
     elems: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
     for g in np.unique(gtypes):
         etype = _GMSH_TYPES.get(int(g))

@@ -35,6 +35,8 @@ except Exception:  # pragma: no cover
 
 from .utils.terminal import log
 
+_WARNED_X64_DOWNGRADE = False
+
 # ---------------------------------------------------------------------------
 # Element topology registry
 # ---------------------------------------------------------------------------
@@ -326,7 +328,17 @@ class Mesh:
             if not _jax.config.jax_enable_x64:
                 # fp64 is unavailable (TPU default) — downgrade cleanly
                 # instead of letting every asarray emit a truncation
-                # warning for the same fact
+                # warning for the same fact; but say so ONCE, so code
+                # that believes it computed an fp64 reference sees the
+                # precision loss (ADVICE r3)
+                global _WARNED_X64_DOWNGRADE
+                if not _WARNED_X64_DOWNGRADE:
+                    _WARNED_X64_DOWNGRADE = True
+                    from .utils.terminal import print_warning
+                    print_warning(
+                        "float64 requested but jax_enable_x64 is off — "
+                        "computing in float32 (set JAX_ENABLE_X64=1 for "
+                        "fp64)")
                 dtype = jnp.float32
         Cp = pad_cells_to or _round_up(max(self.n_cells, 1), cell_align)
         Np = pad_nodes_to or self.n_nodes

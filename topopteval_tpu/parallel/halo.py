@@ -57,7 +57,14 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class HaloPlan:
-    """Host-built partition metadata (NumPy; not a pytree)."""
+    """Host-built partition metadata (NumPy; not a pytree).
+
+    Instances end up as STATIC jit metadata (via HaloShardedOperator's
+    aux data), so equality/hash must be array-safe: the dataclass
+    default would do elementwise ``==`` on the numpy fields and raise
+    the ambiguous-truth-value error on any second distinct-but-equal
+    instance reaching the same jitted function.
+    """
 
     n_shards: int
     ns_max: int                 # slab size (nodes) incl. padding
@@ -69,6 +76,20 @@ class HaloPlan:
     @property
     def n_local_dofs(self) -> int:
         return self.n_shards * self.ns_max * DIM
+
+    def __eq__(self, other):
+        if not isinstance(other, HaloPlan):
+            return NotImplemented
+        return (self.n_shards == other.n_shards
+                and self.ns_max == other.ns_max
+                and self.nbs_max == other.nbs_max
+                and self.n_boundary == other.n_boundary
+                and np.array_equal(self.perm, other.perm)
+                and np.array_equal(self.slab_of, other.slab_of))
+
+    def __hash__(self):
+        return hash((self.n_shards, self.ns_max, self.nbs_max,
+                     self.n_boundary, self.perm.shape[0]))
 
 
 def _partition_nodes(mesh: Mesh, n_shards: int) -> Tuple[np.ndarray,
