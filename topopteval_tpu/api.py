@@ -111,7 +111,7 @@ class Problem:
     mesh: Mesh
     interpolation_order: int = 1
     dtype: object = None                      # None → TPU-first default
-    quad_order: int = 2
+    quad_order: Optional[int] = None          # None → per-type default
     f: np.ndarray = None                      # host-accumulated load vector
     bcs: List[DirichletBC] = dataclasses.field(default_factory=list)
     lam: Optional[np.ndarray] = None          # per-element or scalar
@@ -121,6 +121,13 @@ class Problem:
     mode: str = "otf"                         # operator mode: otf | stored
 
     def __post_init__(self):
+        if self.quad_order is None:
+            # hex20 defaults to FULL (3x3x3) integration: the reference's
+            # order-2 rule under-integrates serendipity hexes, leaving
+            # communicable spurious zero-energy modes on one-element-thick
+            # meshes (singular K).  Deliberate reference deviation,
+            # recorded in docs/PARITY.md; pass quad_order=2 to replicate.
+            self.quad_order = 3 if self.mesh.element_type == "hex20" else 2
         if self.f is None:
             self.f = np.zeros(self.mesh.n_dofs, dtype=np.float64)
         if self.dtype is None:
@@ -151,9 +158,11 @@ def setup_problem(mesh: Mesh, interpolation_order: int = 1,
                   dtype=None, mode: str = "otf") -> Problem:
     """reference: FiniteElementAnalysis.jl:151-185.
 
-    ``interpolation_order=2`` on a tet4 mesh refines to tet10 (same
-    function space as the reference's quadratic Lagrange on linear
-    geometry, FiniteElementAnalysis.jl:160-168).
+    ``interpolation_order=2`` on a tet4 or hex8 mesh refines to
+    tet10 / hex20 (same function space family as the reference's
+    quadratic Lagrange on linear geometry — the reference applies
+    ``interpolation_order`` to BOTH families,
+    FiniteElementAnalysis.jl:160-163).
 
     ``dtype=None`` picks the TPU-first default: float64 when x64 is
     enabled, float32 otherwise (the throughput dtype on real TPUs).
@@ -164,10 +173,17 @@ def setup_problem(mesh: Mesh, interpolation_order: int = 1,
             f"unsupported element type for analysis: {mesh.element_type!r} "
             f"(supported solid types: {', '.join(SOLID_TYPES)}); import a "
             "mesh whose dominant cell type is one of these")
-    if interpolation_order == 2 and mesh.element_type == "tet4":
-        mesh = mesh.to_quadratic()
-    elif interpolation_order not in (1, 2):
+    if interpolation_order not in (1, 2):
         raise ValueError("interpolation_order must be 1 or 2")
+    if interpolation_order == 2:
+        if mesh.element_type in ("tet4", "hex8"):
+            mesh = mesh.to_quadratic()
+        elif mesh.element_type in ("tet10", "hex20"):
+            log(f"mesh is already quadratic ({mesh.element_type})")
+        else:  # pragma: no cover — SOLID_TYPES gate above covers this
+            raise ValueError(
+                f"interpolation_order=2 is not supported on "
+                f"{mesh.element_type!r} meshes")
     log(f"Setting up problem with {mesh.element_type} elements")
     log(f"Number of DOFs: {mesh.n_dofs}")
     return Problem(mesh=mesh, interpolation_order=interpolation_order,
@@ -917,7 +933,7 @@ def solve_system_adaptive(problem: Problem) -> SolveResult:
     if n < ADAPTIVE_DOF_THRESHOLD:
         return solve_system(problem)
     cfg = adaptive_config(n)
-    if problem.mesh.element_type in ("tet4", "hex8", "tet10"):
+    if problem.mesh.element_type in ("tet4", "hex8", "tet10", "hex20"):
         cfg = dataclasses.replace(cfg, method="cg",
                                   preconditioner="multigrid")
         return solve_system(problem, cfg)
@@ -940,7 +956,8 @@ def solve_system_robust(problem: Problem,
     props = check_operator_properties(op)
     method = select_solver_method(op, config, props)
     print_presolve_diagnostics(op, config, method,
-                               simp=problem.material is not None)
+                               simp=problem.material is not None,
+                               problem=problem)
     result = solve_system(problem, dataclasses.replace(config,
                                                        method=method))
     if config.verbose:

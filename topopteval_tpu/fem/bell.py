@@ -920,6 +920,11 @@ def build_bell_multigrid(
     info["total_seconds"] = round(time.perf_counter() - t_all, 3)
     info["n_levels"] = len(levels) + 1
     info["S_fine"] = fine.S
+    # truthful memory: the hierarchy's ACTUAL device residency (sum of
+    # jax.Array leaf nbytes), as opposed to the reference-shaped
+    # assembled-matrix estimates (round-3 VERDICT weak #6)
+    from ..utils.profiling import device_tree_bytes
+    info["hbm_bytes"] = device_tree_bytes((system, mg))
     if verbose:
         log(f"bell MG: total build {info['total_seconds']:.1f}s, fine "
             f"S={fine.S}, lam_max={lam_max}")
@@ -1055,9 +1060,11 @@ def load_hierarchy(path: str, dtype,
         fine = dataclasses.replace(
             fine, vals2_lo=jnp.asarray(z["fine_vals2_lo"], dtype))
     system = BellSystem(fine, z["perm"], int(z["n_nodes"]), dtype)
+    from ..utils.profiling import device_tree_bytes
     info = {"loaded_from": path,
             "build_seconds": float(z["build_seconds"]),
-            "cached": True}
+            "cached": True,
+            "hbm_bytes": device_tree_bytes((system, mg))}
     if "ft_rows" in z:
         info["fine_transfer"] = {"rows": z["ft_rows"], "cols": z["ft_cols"],
                                  "w": z["ft_w"],

@@ -32,11 +32,23 @@ _GMSH_TYPES = {
     4: "tet4",
     5: "hex8",
     11: "tet10",
+    17: "hex20",
+}
+
+#: gmsh node order → internal (VTK) node order, applied to the raw
+#: connectivity of the types whose orderings differ.  gmsh tet10 puts
+#: edge (2,3) at slot 8 and (1,3) at slot 9 — VTK swaps them; gmsh
+#: hex20 orders the 12 mid-edge nodes edge-lexicographically while VTK
+#: walks bottom ring, top ring, then the vertical edges.
+_GMSH_TO_VTK = {
+    "tet10": np.array([0, 1, 2, 3, 4, 5, 6, 7, 9, 8]),
+    "hex20": np.array([0, 1, 2, 3, 4, 5, 6, 7,
+                       8, 11, 13, 9, 16, 18, 19, 17, 10, 12, 14, 15]),
 }
 
 #: topological dimension per our element type
 _TYPE_DIM = {"line2": 1, "tri3": 2, "quad4": 2, "tet4": 3, "hex8": 3,
-             "tet10": 3}
+             "tet10": 3, "hex20": 3}
 
 #: gmsh canonical node counts (for record-skipping of unsupported types)
 _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
@@ -48,7 +60,7 @@ _GMSH_NNODES = {15: 1, 1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5,
                 23: 15, 24: 15, 25: 21, 26: 4, 27: 5, 28: 6, 29: 20,
                 30: 35, 31: 56}
 
-_SOLID = ("tet4", "hex8", "tet10")
+_SOLID = ("tet4", "hex8", "tet10", "hex20")
 
 
 def _read_sections(path: str) -> Dict[str, List[str]]:
@@ -129,6 +141,8 @@ def read_msh_mesh(path: str) -> Mesh:
     etype = max(pool, key=pool.get)
     conn_raw, tags = elems[etype]
     conn = lut[np.asarray(conn_raw, np.int64)].astype(np.int32)
+    if etype in _GMSH_TO_VTK:
+        conn = conn[:, _GMSH_TO_VTK[etype]]
 
     dom_dim = _TYPE_DIM[etype]
     cellsets: Dict[str, np.ndarray] = {}

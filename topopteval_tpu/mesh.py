@@ -49,6 +49,10 @@ FACE_TABLES: Dict[str, tuple] = {
     # corner nodes only — face IDENTITY/topology (a face is uniquely keyed
     # by its corners); quadrature and node selection use FULL_FACE_TABLES
     "tet10": ((0, 2, 1), (0, 1, 3), (1, 2, 3), (0, 3, 2)),
+    "hex20": (
+        (0, 3, 2, 1), (0, 1, 5, 4), (1, 2, 6, 5),
+        (2, 3, 7, 6), (0, 4, 7, 3), (4, 5, 6, 7),
+    ),
     "hex8": (
         (0, 3, 2, 1),  # bottom (z=-1)
         (0, 1, 5, 4),  # front  (y=-1)
@@ -72,6 +76,16 @@ FULL_FACE_TABLES["tet10"] = (
     (0, 1, 3, 4, 8, 7),   # (0,1)->4, (1,3)->8, (3,0)->7
     (1, 2, 3, 5, 9, 8),   # (1,2)->5, (2,3)->9, (3,1)->8
     (0, 3, 2, 7, 9, 6),   # (0,3)->7, (3,2)->9, (2,0)->6
+)
+#: quad8 faces (VTK_QUADRATIC_QUAD order: 4 corners then the 4 face-edge
+#: mids); mid-edge node k of a hex20 sits on EDGE_TABLES['hex8'][k-8]
+FULL_FACE_TABLES["hex20"] = (
+    (0, 3, 2, 1, 11, 10, 9, 8),     # bottom
+    (0, 1, 5, 4, 8, 17, 12, 16),    # front
+    (1, 2, 6, 5, 9, 18, 13, 17),    # right
+    (2, 3, 7, 6, 10, 19, 14, 18),   # back
+    (0, 4, 7, 3, 16, 15, 19, 11),   # left
+    (4, 5, 6, 7, 12, 13, 14, 15),   # top
 )
 
 #: tet edge table in Ferrite/VTK quadratic-node order: mid-edge node k of a
@@ -108,7 +122,7 @@ NODES_PER_CELL: Dict[str, int] = {
 }
 
 #: element types the FEM layer can analyze (3D solids)
-SOLID_TYPES = ("tet4", "hex8", "tet10")
+SOLID_TYPES = ("tet4", "hex8", "tet10", "hex20")
 
 DIM = 3  # 3D problems throughout (reference: FiniteElementAnalysis.jl:152)
 
@@ -284,27 +298,32 @@ class Mesh:
     # -- refinement ---------------------------------------------------------
 
     def to_quadratic(self) -> "Mesh":
-        """Tet4 → Tet10 by mid-edge node insertion.
+        """Tet4 → Tet10 / Hex8 → Hex20 by mid-edge node insertion.
 
         Equivalent of the reference's ``interpolation_order=2`` path, which
-        attaches quadratic Lagrange DOFs to a linear tet grid
-        (reference: FiniteElementAnalysis.jl:151-168).  Mid-edge nodes follow
-        the VTK_QUADRATIC_TETRA / Ferrite edge order (EDGE_TABLES['tet4']).
+        attaches quadratic Lagrange DOFs to a linear grid of either family
+        (reference: FiniteElementAnalysis.jl:160-163).  Mid-edge nodes
+        follow the VTK quadratic orderings (EDGE_TABLES).
         """
-        if self.element_type != "tet4":
+        quad_of = {"tet4": "tet10", "hex8": "hex20"}
+        if self.element_type not in quad_of:
             raise NotImplementedError(
-                "quadratic refinement currently supports tet4 only")
-        edges = np.asarray(EDGE_TABLES["tet4"], dtype=np.int64)  # [6,2]
+                f"quadratic refinement supports tet4 and hex8 meshes "
+                f"(got {self.element_type!r})")
+        edges = np.asarray(EDGE_TABLES[self.element_type],
+                           dtype=np.int64)              # [n_edges, 2]
         # all element edges as sorted node pairs -> unique mid-edge node ids
-        ev = self.conn[:, edges]                      # [C, 6, 2]
+        ev = self.conn[:, edges]                        # [C, n_edges, 2]
         ev_sorted = np.sort(ev, axis=2).reshape(-1, 2)
         uniq, inverse = np.unique(ev_sorted, axis=0, return_inverse=True)
         mid_coords = 0.5 * (self.coords[uniq[:, 0]] + self.coords[uniq[:, 1]])
         new_coords = np.vstack([self.coords, mid_coords])
-        mid_ids = (self.n_nodes + inverse).reshape(self.n_cells, 6)
-        conn10 = np.hstack([self.conn, mid_ids]).astype(np.int32)
-        return Mesh(new_coords, conn10, "tet10", density=self.density,
-                    cellsets=self.cellsets, nodesets=self.nodesets)
+        mid_ids = (self.n_nodes + inverse).reshape(self.n_cells,
+                                                   len(edges))
+        conn_q = np.hstack([self.conn, mid_ids]).astype(np.int32)
+        return Mesh(new_coords, conn_q, quad_of[self.element_type],
+                    density=self.density, cellsets=self.cellsets,
+                    nodesets=self.nodesets)
 
     # -- device transfer ----------------------------------------------------
 

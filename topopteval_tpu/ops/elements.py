@@ -110,6 +110,64 @@ def hex8_grad(xi):
     return np.stack([gx, gy, gz], axis=1)
 
 
+#: natural coordinates of the 20 serendipity hex nodes in
+#: VTK_QUADRATIC_HEXAHEDRON order: 8 corners (VTK hex order), then the 12
+#: mid-edge nodes of EDGE_TABLES['hex8'] — exactly one zero entry marks a
+#: mid-edge node's edge direction.
+_HEX20_NAT = np.array(
+    [list(s) for s in _HEX_SIGNS]
+    + [[0, -1, -1], [1, 0, -1], [0, 1, -1], [-1, 0, -1],
+       [0, -1, 1], [1, 0, 1], [0, 1, 1], [-1, 0, 1],
+       [-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+    dtype=np.float64)
+
+
+def hex20_shape(xi):
+    """20-node serendipity hexahedron (the reference's quadratic-hex
+    path: ``Lagrange{RefHexahedron, interpolation_order=2}``,
+    FiniteElementAnalysis.jl:160-163; this framework uses the 20-node
+    serendipity basis of VTK/gmsh quadratic hex meshes)."""
+    x, y, z = xi
+    out = np.empty(20)
+    for i, (a, b, c) in enumerate(_HEX20_NAT):
+        if a == 0:
+            out[i] = (1 - x * x) * (1 + b * y) * (1 + c * z) / 4.0
+        elif b == 0:
+            out[i] = (1 + a * x) * (1 - y * y) * (1 + c * z) / 4.0
+        elif c == 0:
+            out[i] = (1 + a * x) * (1 + b * y) * (1 - z * z) / 4.0
+        else:
+            out[i] = ((1 + a * x) * (1 + b * y) * (1 + c * z)
+                      * (a * x + b * y + c * z - 2.0) / 8.0)
+    return out
+
+
+def hex20_grad(xi):
+    x, y, z = xi
+    out = np.empty((20, 3))
+    for i, (a, b, c) in enumerate(_HEX20_NAT):
+        if a == 0:
+            out[i] = [-2 * x * (1 + b * y) * (1 + c * z) / 4.0,
+                      (1 - x * x) * b * (1 + c * z) / 4.0,
+                      (1 - x * x) * (1 + b * y) * c / 4.0]
+        elif b == 0:
+            out[i] = [a * (1 - y * y) * (1 + c * z) / 4.0,
+                      (1 + a * x) * (-2 * y) * (1 + c * z) / 4.0,
+                      (1 + a * x) * (1 - y * y) * c / 4.0]
+        elif c == 0:
+            out[i] = [a * (1 + b * y) * (1 - z * z) / 4.0,
+                      (1 + a * x) * b * (1 - z * z) / 4.0,
+                      (1 + a * x) * (1 + b * y) * (-2 * z) / 4.0]
+        else:
+            q = a * x + b * y + c * z - 2.0
+            out[i] = [
+                a * (1 + b * y) * (1 + c * z) * (q + (1 + a * x)) / 8.0,
+                b * (1 + a * x) * (1 + c * z) * (q + (1 + b * y)) / 8.0,
+                c * (1 + a * x) * (1 + b * y) * (q + (1 + c * z)) / 8.0,
+            ]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Quadrature rules (order-2 defaults = reference parity)
 # ---------------------------------------------------------------------------
@@ -138,10 +196,25 @@ QUADRATURE = {
     ),
 }
 
-_FAMILY = {"tet4": "tet", "tet10": "tet", "hex8": "hex"}
+# 3x3x3 Gauss (degree-5 exact): the hex20 default — full integration,
+# no spurious zero-energy modes (see api.Problem.__post_init__)
+_G3P = np.array([-np.sqrt(3.0 / 5.0), 0.0, np.sqrt(3.0 / 5.0)])
+_G3W = np.array([5.0 / 9.0, 8.0 / 9.0, 5.0 / 9.0])
+QUADRATURE[("hex", 3)] = (
+    np.array([[x, y, z] for z in _G3P for y in _G3P for x in _G3P]),
+    np.array([wx * wy * wz for wz in _G3W for wy in _G3W
+              for wx in _G3W]),
+)
+# order-3 tets fall back to the 4-point rule (sufficient for tet10
+# stiffness on straight-edged tets, which is the only tet path here)
+QUADRATURE[("tet", 3)] = QUADRATURE[("tet", 2)]
+
+_FAMILY = {"tet4": "tet", "tet10": "tet", "hex8": "hex",
+           "hex20": "hex"}
 _SHAPE_FNS = {"tet4": (tet4_shape, tet4_grad),
               "tet10": (tet10_shape, tet10_grad),
-              "hex8": (hex8_shape, hex8_grad)}
+              "hex8": (hex8_shape, hex8_grad),
+              "hex20": (hex20_shape, hex20_grad)}
 
 
 @functools.lru_cache(maxsize=None)

@@ -87,14 +87,61 @@ def _tri6_grad(p):
     ])
 
 
+#: quad8 serendipity facets (hex20 surface loads), 3x3 Gauss (degree-5
+#: exact — the quadratic geometry makes the metric itself quadratic)
+_G35 = np.sqrt(3.0 / 5.0)
+_QUAD8_PTS = np.array([[x, y] for y in (-_G35, 0.0, _G35)
+                       for x in (-_G35, 0.0, _G35)])
+_W13 = np.array([5.0 / 9.0, 8.0 / 9.0, 5.0 / 9.0])
+_QUAD8_W = np.array([_W13[i] * _W13[j] for j in range(3)
+                     for i in range(3)])
+#: natural coords of the 8 serendipity quad nodes (4 corners + 4 mids)
+_QUAD8_NAT = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1],
+                       [0, -1], [1, 0], [0, 1], [-1, 0]], dtype=float)
+
+
+def _quad8_shape(p):
+    xi, eta = p
+    out = np.empty(8)
+    for i, (a, b) in enumerate(_QUAD8_NAT):
+        if a == 0:
+            out[i] = (1 - xi * xi) * (1 + b * eta) / 2.0
+        elif b == 0:
+            out[i] = (1 + a * xi) * (1 - eta * eta) / 2.0
+        else:
+            out[i] = (1 + a * xi) * (1 + b * eta) \
+                * (a * xi + b * eta - 1.0) / 4.0
+    return out
+
+
+def _quad8_grad(p):
+    xi, eta = p
+    out = np.empty((8, 2))
+    for i, (a, b) in enumerate(_QUAD8_NAT):
+        if a == 0:
+            out[i] = [-xi * (1 + b * eta),
+                      (1 - xi * xi) * b / 2.0]
+        elif b == 0:
+            out[i] = [a * (1 - eta * eta) / 2.0,
+                      -(1 + a * xi) * eta]
+        else:
+            q = a * xi + b * eta - 1.0
+            out[i] = [a * (1 + b * eta) * (q + (1 + a * xi)) / 4.0,
+                      b * (1 + a * xi) * (q + (1 + b * eta)) / 4.0]
+    return out
+
+
 def facet_tables(n_face_nodes: int):
-    """(N [q, fk], dN [q, fk, 2], w [q]) for tri3 / quad4 / tri6 facets."""
+    """(N [q, fk], dN [q, fk, 2], w [q]) for tri3 / quad4 / tri6 / quad8
+    facets."""
     if n_face_nodes == 3:
         pts, w, sh, gr = _TRI_PTS, _TRI_W, _tri_shape, _tri_grad
     elif n_face_nodes == 4:
         pts, w, sh, gr = _QUAD_PTS, _QUAD_W, _quad_shape, _quad_grad
     elif n_face_nodes == 6:
         pts, w, sh, gr = _TRI6_PTS, _TRI6_W, _tri6_shape, _tri6_grad
+    elif n_face_nodes == 8:
+        pts, w, sh, gr = _QUAD8_PTS, _QUAD8_W, _quad8_shape, _quad8_grad
     else:
         raise NotImplementedError(
             f"facet with {n_face_nodes} nodes not supported")
