@@ -349,37 +349,59 @@ class BellSystem:
     # Iterative refinement with THIS residual contracts the energy error
     # ~400x per pass (scale-4 probe: 2.4e-3 → 6.0e-6 → 2.2e-8).
 
-    def _host_packed64(self):
-        cached = getattr(self, "_packed64", None)
+    def _host_csr64(self):
+        """Cached scipy BSR twin of the fine operator in exact fp64
+        (hi+lo reconstructed; the fp64 sum of the split planes is the
+        original value to ~2^-48).
+
+        Sources the packed arrays from ``host_fine`` (the build/load
+        host mirrors) when present — D2H of the 2x704 MB value planes
+        over the axon tunnel costs minutes (docs/PERF_NOTES.md) — and
+        only falls back to device readback for foreign systems.  The
+        BSR matvec replaced an S-slot numpy loop that cost seconds per
+        refinement pass at the 1.23M-tet scale and dominated the
+        imported e2e solve (round-3 VERDICT #2/#3)."""
+        cached = getattr(self, "_csr64", None)
         if cached is None:
+            import scipy.sparse as sp
             A = self.matrix
             Np, S = A.n_rows_p, A.S
             Nt = Np // 128
-            cols = np.asarray(A.cols2).reshape(Nt, S, 128) \
-                .transpose(1, 0, 2).reshape(S, Np)
-            vals = np.asarray(A.vals2, np.float64)
-            if A.vals2_lo is not None:
-                vals = vals + np.asarray(A.vals2_lo, np.float64)
-            vals = vals.reshape(Nt, 9, S, 128).transpose(1, 2, 0, 3) \
-                .reshape(9, S, Np)
+            hf = getattr(self, "host_fine", None)
+            if hf is not None:
+                cols2 = np.asarray(hf["cols2"])
+                vals = np.asarray(hf["vals2"], np.float64)
+                if hf.get("vals2_lo") is not None:
+                    vals = vals + np.asarray(hf["vals2_lo"], np.float64)
+            else:
+                cols2 = np.asarray(A.cols2)
+                vals = np.asarray(A.vals2, np.float64)
+                if A.vals2_lo is not None:
+                    vals = vals + np.asarray(A.vals2_lo, np.float64)
+            cols_full = cols2.reshape(Nt, S, 128).transpose(0, 2, 1) \
+                .reshape(Np, S)
+            vals_full = vals.reshape(Nt, 9, S, 128) \
+                .transpose(0, 3, 2, 1).reshape(Np, S, 9)
+            nz = np.abs(vals_full).max(axis=-1) != 0.0   # drop pad slots
+            counts = nz.sum(axis=1)
+            indptr = np.zeros(Np + 1, np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            K = sp.bsr_matrix(
+                (vals_full[nz].reshape(-1, 3, 3), cols_full[nz], indptr),
+                shape=(3 * Np, 3 * Np))
             mask = np.asarray(A.free_mask, np.float64)
-            cached = (cols, vals, mask)
-            self._packed64 = cached
+            cached = (K, mask)
+            self._csr64 = cached
         return cached
 
     def matvec64(self, x64: np.ndarray) -> np.ndarray:
         """Constrained fp64 matvec on host (flat cm vector)."""
-        cols, vals, m = self._host_packed64()
+        K, m = self._host_csr64()
         Np = self.matrix.n_rows_p
-        u = (m * x64).reshape(3, Np)
-        out = np.zeros((3, Np))
-        for s in range(cols.shape[0]):
-            g = u[:, cols[s]]
-            for a in range(3):
-                out[a] += (vals[3 * a + 0, s] * g[0]
-                           + vals[3 * a + 1, s] * g[1]
-                           + vals[3 * a + 2, s] * g[2])
-        return m * out.reshape(-1) + (1.0 - m) * x64
+        # cm (component-major [3, Np]) -> node-major for the BSR blocks
+        u_nm = (m * x64).reshape(3, Np).T.reshape(-1)
+        out = (K @ u_nm).reshape(Np, 3).T.reshape(-1)
+        return m * out + (1.0 - m) * x64
 
     # layout converters (host)
     def to_cm(self, vec_il: np.ndarray) -> np.ndarray:
@@ -917,6 +939,10 @@ def build_bell_multigrid(
             hostd[f"L{i}_t_rw"] = th["rw"]
             hostd[f"L{i}_t_rcmeta"] = th["rcmeta"]
     info["host_arrays"] = hostd
+    # feed the refinement residual oracle without any device readback
+    system.host_fine = {"cols2": hostd["L0_cols2"],
+                        "vals2": hostd["L0_vals2"],
+                        "vals2_lo": hostd.get("fine_vals2_lo")}
     info["total_seconds"] = round(time.perf_counter() - t_all, 3)
     info["n_levels"] = len(levels) + 1
     info["S_fine"] = fine.S
@@ -1060,6 +1086,9 @@ def load_hierarchy(path: str, dtype,
         fine = dataclasses.replace(
             fine, vals2_lo=jnp.asarray(z["fine_vals2_lo"], dtype))
     system = BellSystem(fine, z["perm"], int(z["n_nodes"]), dtype)
+    system.host_fine = {
+        "cols2": z["L0_cols2"], "vals2": z["L0_vals2"],
+        "vals2_lo": z["fine_vals2_lo"] if "fine_vals2_lo" in z else None}
     from ..utils.profiling import device_tree_bytes
     info = {"loaded_from": path,
             "build_seconds": float(z["build_seconds"]),

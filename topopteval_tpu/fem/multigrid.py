@@ -904,6 +904,56 @@ class _HostFineOperator:
         f = f.reshape(-1)
         return m * f + (1.0 - m) * u
 
+    def _ke64(self) -> np.ndarray:
+        """Exact fp64 Ke batch — the residual oracle for generic
+        mixed-precision refinement (api._refined_generic): the fp32
+        batch above carries a fixed storage-rounding BIAS ~eps32*||Ke||
+        that would stall refinement exactly where it matters (see
+        docs/PERF_NOTES.md on the BELL hi/lo split)."""
+        if getattr(self, "_ke_cache64", None) is not None:
+            return self._ke_cache64
+        C, q, k, _ = self.g.shape
+        ek = 3 * k
+        ke = np.empty((C, ek, ek), np.float64)
+        eye = np.eye(3)
+        CH = 131072
+        for c0 in range(0, C, CH):
+            gs = self.g[c0:c0 + CH]
+            wl = (self.wdet * self.lam_e[:, None])[c0:c0 + CH]
+            wm = (self.wdet * self.mu_e[:, None])[c0:c0 + CH]
+            K1 = np.einsum("cq,cqia,cqjb->ciajb", wl, gs, gs,
+                           optimize=True)
+            K2 = np.einsum("cq,cqib,cqja->ciajb", wm, gs, gs,
+                           optimize=True)
+            dots = np.einsum("cq,cqid,cqjd->cij", wm, gs, gs,
+                             optimize=True)
+            K3 = dots[:, :, None, :, None] * eye[None, None, :, None, :]
+            ke[c0:c0 + CH] = (K1 + K2 + K3).reshape(-1, ek, ek)
+        self._ke_cache64 = ke
+        return ke
+
+    def matvec64(self, u: np.ndarray) -> np.ndarray:
+        """Exact fp64 masked matvec (m*K*m*u + (1-m)*u)."""
+        m = self.mask
+        um = (m * u).reshape(self.n_nodes, 3)
+        k = self.conn.shape[1]
+        ke = self._ke64()
+        flat = self.conn.reshape(-1)
+        f = np.zeros((self.n_nodes, 3))
+        CH = 262144
+        C = self.conn.shape[0]
+        for c0 in range(0, C, CH):
+            cn = self.conn[c0:c0 + CH]
+            u_e = um[cn].reshape(-1, 3 * k, 1)
+            fe3 = (ke[c0:c0 + CH] @ u_e)[:, :, 0].reshape(-1, k, 3)
+            fl = cn.reshape(-1)
+            for a in range(3):
+                f[:, a] += np.bincount(
+                    fl, weights=fe3[:, :, a].reshape(-1),
+                    minlength=self.n_nodes)
+        f = f.reshape(-1)
+        return m * f + (1.0 - m) * u
+
     def power_lambda_max(self, binv: np.ndarray, iters: int = 12,
                          seed: int = 0) -> float:
         """Upper estimate of lambda_max(B^-1 A), inflated 10% to cover
