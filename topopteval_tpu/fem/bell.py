@@ -746,12 +746,15 @@ def build_bell_multigrid(
     # accuracy doesn't affect the fixed point, so don't pay 2x there)
     fine, fine_h = _bell_from_triplets(rows, cols, blocks, N, mask_p,
                                        dtype, use_pallas, split=True)
+    t0 = tick("fine_pack_upload", t0)
     diag = _diag_blocks(rows, cols, blocks, N)
     binv = _block_jacobi_inv(diag, mask_p.reshape(N, 3))
+    t0 = tick("fine_binv", t0)
     A_bsr = _triplets_to_scipy_bsr(rows, cols, blocks, N)
+    t0 = tick("fine_to_bsr", t0)
     lam_max = (_power_lambda_max(A_bsr, binv, mask_p)
                if smoother == "chebyshev" else None)
-    t0 = tick("fine_binv_lam_max", t0)
+    t0 = tick("fine_lam_max", t0)
 
     # --- voxel lattice dims (same policy as build_unstructured_multigrid) ----
     lo, hi = mesh.bounding_box()
@@ -792,7 +795,18 @@ def build_bell_multigrid(
     n_cur = N
     lattice_dims = (vx, vy, vz)
     import scipy.sparse as sp
+    rap_sub = {"tables": 0.0, "rap_scipy": 0.0, "reorder": 0.0,
+               "pack_upload": 0.0, "binv_lam_max": 0.0}
+    _ts = time.perf_counter()
+
+    def sub(label):
+        nonlocal _ts
+        now = time.perf_counter()
+        rap_sub[label] += now - _ts
+        _ts = now
+
     for li in range(L):
+        _ts = time.perf_counter()
         if li == 0:
             parents, weights, _ = build_voxel_transfer(
                 coords_p, lo, hi, lattice_dims)
@@ -817,12 +831,14 @@ def build_bell_multigrid(
         fixed_c = propagate_fixed(parents, weights,
                                   mask_cur.reshape(-1, 3) == 0, n_next)
         mask_next_lat = np.where(fixed_c, 0.0, 1.0).reshape(-1)
+        sub("tables")
 
         # Galerkin RAP on host (scipy)
         P_node = sp.coo_matrix((p_w, (p_rows, p_cols)),
                                shape=(n_cur, n_next)).tocsr()
         P_dof = sp.kron(P_node, sp.eye(3), format="csr")
         A_next = (P_dof.T @ A_cur @ P_dof).tocsr()
+        sub("rap_scipy")
         if A_next.nnz:
             tol = 1e-14 * np.abs(A_next.diagonal()).max()
             A_next.data[np.abs(A_next.data) < tol] = 0.0
@@ -846,6 +862,7 @@ def build_bell_multigrid(
         mask_next = mask_next_lat.reshape(n_next, 3)[perm_c].reshape(-1)
         p_cols = inv_c[p_cols]
         prev_lattice_perm = perm_c           # for the next level's tables
+        sub("reorder")
 
         t_new, t_h = _transfer_from_triplets(
             p_rows, p_cols, p_w, n_cur, n_next, dtype, use_pallas)
@@ -864,6 +881,7 @@ def build_bell_multigrid(
 
         op_c, op_c_h = _bell_from_triplets(r_n, c_n, b_n, n_next,
                                            mask_next, dtype, use_pallas)
+        sub("pack_upload")
         diag_c = _diag_blocks(r_n, c_n, b_n, n_next)
         binv_c = _block_jacobi_inv(diag_c, mask_next.reshape(n_next, 3))
         A_next_p = _triplets_to_scipy_bsr(r_n, c_n, b_n, n_next)
@@ -877,7 +895,10 @@ def build_bell_multigrid(
         A_cur = A_next_p.tocsr()
         mask_cur = mask_next
         n_cur = n_next
+        sub("binv_lam_max")
     t0 = tick("rap_chain", t0)
+    info["phases"]["rap_chain_sub"] = {
+        k: round(v, 3) for k, v in rap_sub.items()}
 
     # attach transfers (level i -> i+1)
     levels = [dataclasses.replace(levels[i], transfer=transfers[i])
@@ -1093,6 +1114,8 @@ def load_hierarchy(path: str, dtype,
     info = {"loaded_from": path,
             "build_seconds": float(z["build_seconds"]),
             "cached": True,
+            "n_levels": n_levels + 1,
+            "S_fine": fine.S,
             "hbm_bytes": device_tree_bytes((system, mg))}
     if "ft_rows" in z:
         info["fine_transfer"] = {"rows": z["ft_rows"], "cols": z["ft_cols"],
