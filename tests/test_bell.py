@@ -328,3 +328,16 @@ def test_hierarchy_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(mg.apply(x_cm * system.free_mask)),
                                np.asarray(mg2.apply(x_cm * system.free_mask)),
                                rtol=1e-13, atol=1e-13)
+    # fp64 host twin: build-time BSR == cache-loaded BSR == packed-plane
+    # reconstruction (the pre-round-4 cache fallback)
+    assert getattr(system2, "host_bsr", None) is not None
+    x64 = system.to_cm(x)
+    y_build = system.matvec64(x64)
+    y_load = system2.matvec64(x64)
+    np.testing.assert_allclose(y_load, y_build, rtol=1e-14, atol=1e-14)
+    system3, _, _ = load_hierarchy(path, jnp.float64)
+    del system3.host_bsr              # force the packed-plane fallback
+    y_fb = system3.matvec64(x64)
+    scale = np.abs(y_build).max()
+    np.testing.assert_allclose(y_fb, y_build, rtol=1e-12,
+                               atol=1e-12 * scale)

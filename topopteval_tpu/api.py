@@ -496,8 +496,11 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
         def mv64(x_il):
             return system.to_il(system.matvec64(system.to_cm(x_il)))
 
+        floor = float(os.environ.get("TOPOPT_REFINE_INNER_FLOOR",
+                                     "1e-7"))
         for p in range(6):
-            r64 = f64_il - mv64(x64)
+            r64 = f64_il if (p == 0 and x0 is None) \
+                else f64_il - mv64(x64)
             rn = float(np.linalg.norm(r64))
             if rn <= eps or total >= config.max_iterations:
                 break
@@ -505,7 +508,9 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
                 log(f"  Refinement pass {p}: true residual = {rn:.6e}")
             s = rn
             rhs = hop.to_local(r64 / s) * hop.free_mask
-            res = cg(hop, rhs, M=M, tol=max(config.tolerance, 1e-6),
+            # pass-adaptive inner target — see _refined_cg
+            res = cg(hop, rhs, M=M,
+                     tol=float(np.clip(0.3 * eps / rn, floor, 1e-4)),
                      maxiter=config.max_iterations - total,
                      record_history=config.history)
             ni = int(res.niter)
@@ -615,6 +620,7 @@ def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
     total = 0
     hists = []
     res = None
+    prev_rn = None
     while total < maxiter:
         res = cg(op, f_dev, x0=x, M=M, tol=tol, maxiter=chunk,
                  record_history=record_history)
@@ -629,6 +635,16 @@ def _chunked_cg(op, f_dev, M, tol, maxiter, x0=None, chunk=0,
             hists.append(h if not hists else h[1:])
         if bool(res.converged) or n == 0:
             break
+        # each chunk warm-restarts from the RECOMPUTED fp32 residual, so
+        # the boundary residual cannot drop below the fp32 floor: when a
+        # full chunk stops making headway the target is unreachable at
+        # this precision — return and let the caller (refinement outer
+        # loop / verification gate) judge the iterate instead of burning
+        # the rest of maxiter re-measuring the floor
+        rn = float(res.residual_norm)
+        if prev_rn is not None and rn > max(0.5, 0.98 ** chunk) * prev_rn:
+            break
+        prev_rn = rn
     history = (jnp.asarray(np.concatenate(hists))
                if record_history and hists else None)
     return KrylovResult(res.x, jnp.int32(total), res.residual_norm,
@@ -661,8 +677,17 @@ def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
     hists = []
     rn = rn0
     dtype = op_jit.free_mask.dtype
+    floor = float(os.environ.get("TOPOPT_REFINE_INNER_FLOOR", "1e-7"))
     for p in range(max_passes):
-        r64 = f64 - system.matvec64(x64)
+        # x64 == 0 on the un-warm-started first pass: the residual is f
+        # itself — skip one full host BSR matvec (~0.3 s/1 vCPU at 1.2M
+        # tets, a measurable slice of the e2e solve)
+        t_h = time.perf_counter()
+        r64 = f64 if (p == 0 and x0_64 is None) \
+            else f64 - system.matvec64(x64)
+        if live_report and p > 0:
+            log(f"  [refine] host residual matvec: "
+                f"{time.perf_counter() - t_h:.3f}s")
         rn = float(np.linalg.norm(r64))
         if rn <= eps or total >= maxiter:
             break
@@ -670,13 +695,27 @@ def _refined_cg(system, op_jit, M, f64, tol, maxiter, x0_64=None,
             log(f"  Refinement pass {p}: true residual = {rn:.6e}")
         s = rn
         rhs = jnp.asarray(r64 / s, dtype)
-        # the OUTER criterion uses the exact fp64 residual, so it honors
-        # tolerances the fp32 inner iteration cannot certify itself
-        inner_tol = max(tol, 1e-6)
+        # The OUTER criterion uses the exact fp64 residual, so it honors
+        # tolerances the fp32 inner iteration cannot certify itself.
+        # The inner target adapts per pass: each pass's TRUE contraction
+        # is floored by fp32 representation/arithmetic of the correction
+        # (measured ~1.6e-3 relative on the 1.23M-tet beam, while the
+        # recurrence grinds to 3e-7 — every digit below the floor is
+        # wasted device work), so aim the inner solve just below what
+        # would FINISH this pass (0.3*eps/rn), clipped to [floor, 1e-4].
+        # Mid passes then run loose and cheap; the closing pass gets
+        # exactly the accuracy it needs.  On-chip scale-16 tol=1e-6:
+        # 94 iters (fixed 2.5e-7 inner) -> ~55 iters, same certificate.
+        inner_tol = float(np.clip(0.3 * eps / rn, floor, 1e-4))
+        t_d = time.perf_counter()
         res = _chunked_cg(op_jit, rhs, M, inner_tol, maxiter - total,
                           chunk=chunk, record_history=record_history,
                           live_report=live_report)
         n = int(res.niter)
+        if live_report:
+            log(f"  [refine] pass {p} inner solve: "
+                f"{time.perf_counter() - t_d:.3f}s / {n} iters "
+                f"(inner_tol {inner_tol:.1e})")
         if n == 0:
             break
         x64 = x64 + s * np.asarray(res.x, np.float64)
@@ -729,10 +768,12 @@ def _refined_generic(system, inner, f64, tol, maxiter, x0_64=None,
     Same scheme as :func:`_refined_cg` (which is specialised to the
     BELL layout + chunked CG): each pass evaluates the TRUE residual
     with an exact fp64 host matvec, rescales it to unit norm, and calls
-    ``inner(rhs_dev, iters_left) -> (x_dev, niter, history)`` for the
-    correction.  This is what removes the fp32 1e-6 tolerance clamp
-    from the general StiffnessOperator path (round-3 VERDICT #6): the
-    outer criterion certifies tolerances the fp32 iteration cannot.
+    ``inner(rhs_dev, iters_left, tol_inner) -> (x_dev, niter, history)``
+    for the correction.  This is what removes the fp32 1e-6 tolerance
+    clamp from the general StiffnessOperator path (round-3 VERDICT #6):
+    the outer criterion certifies tolerances the fp32 iteration cannot.
+    The inner tolerance adapts per pass exactly as in
+    :func:`_refined_cg` (see the floor analysis there).
     """
     rn0 = float(np.linalg.norm(f64))
     eps = tol + tol * rn0
@@ -741,8 +782,10 @@ def _refined_generic(system, inner, f64, tol, maxiter, x0_64=None,
     total = 0
     hists = []
     rn = rn0
+    floor = float(os.environ.get("TOPOPT_REFINE_INNER_FLOOR", "1e-7"))
     for p in range(max_passes):
-        r64 = f64 - system.matvec64(x64)
+        r64 = f64 if (p == 0 and x0_64 is None) \
+            else f64 - system.matvec64(x64)
         rn = float(np.linalg.norm(r64))
         if rn <= eps or total >= maxiter:
             break
@@ -750,7 +793,8 @@ def _refined_generic(system, inner, f64, tol, maxiter, x0_64=None,
             log(f"  Refinement pass {p}: true residual = {rn:.6e}")
         s = rn
         rhs = jnp.asarray(r64 / s, dtype)
-        x_dev, n_it, hist = inner(rhs, maxiter - total)
+        tol_inner = float(np.clip(0.3 * eps / rn, floor, 1e-4))
+        x_dev, n_it, hist = inner(rhs, maxiter - total, tol_inner)
         if n_it == 0:
             break
         x64 = x64 + s * np.asarray(x_dev, np.float64)
@@ -889,8 +933,9 @@ def solve_system(problem: Problem,
                 x0_64 = np.zeros(op.n_dofs)
                 x0_64[:n] = np.asarray(x0)[:n] * system.mask
 
-            def _inner(rhs, left):
-                r = _chunked_cg(op_jit, rhs, M, 1e-6, left, chunk=chunk,
+            def _inner(rhs, left, tol_inner):
+                r = _chunked_cg(op_jit, rhs, M, tol_inner, left,
+                                chunk=chunk,
                                 record_history=config.history,
                                 live_report=config.verbose)
                 return r.x, int(r.niter), r.history
@@ -933,10 +978,10 @@ def solve_system(problem: Problem,
                 f64[:n] = np.asarray(problem.f)[:n] * system.mask
                 meths = []
 
-                def _inner(rhs, left):
+                def _inner(rhs, left, tol_inner):
                     ui, ni, _rn, _cv, hist, m_ = solve_with_krylov(
                         op, rhs, method,
-                        dataclasses.replace(config, tolerance=1e-6,
+                        dataclasses.replace(config, tolerance=tol_inner,
                                             max_iterations=left))
                     meths.append(m_)
                     return ui, ni, hist
