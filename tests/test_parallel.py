@@ -210,6 +210,32 @@ def test_evaluate_design_batch_derives_nu_and_self_shards(monkeypatch):
                                    rtol=1e-6)
 
 
+def test_evaluate_design_batch_lane_chunking_matches_full():
+    """Chunked lane evaluation (HBM guard for large meshes: 256 lanes x
+    131k tets OOMed a 16 GB v5e) must return bitwise-same shapes and
+    near-identical energies as the one-shot batch, including a padded
+    tail chunk (B=7 with lane_chunk=3 -> chunks 3+3+1pad)."""
+    from topopteval_tpu.api import evaluate_design_batch
+
+    mesh, problem = _cantilever(4, 2, 2)
+    lam0, mu0 = lame_parameters(1.0, 0.3)
+    problem.lam = np.full(mesh.n_cells, lam0)
+    problem.mu = np.full(mesh.n_cells, mu0)
+    rng = np.random.default_rng(3)
+    B = 7
+    densities = rng.uniform(0.4, 1.0, (B, mesh.n_cells))
+    loads = np.zeros((2, mesh.n_dofs))
+    loads[0] = problem.f
+    loads[1] = -0.5 * problem.f
+    kw = dict(tol=1e-12, maxiter=20000, dtype=jnp.float64)
+    e_full, it_full, cv_full = evaluate_design_batch(
+        problem, densities, loads, lane_chunk=B, **kw)
+    e_chunk, it_chunk, cv_chunk = evaluate_design_batch(
+        problem, densities, loads, lane_chunk=3, **kw)
+    assert e_chunk.shape == (B, 2) and cv_chunk.all() and cv_full.all()
+    np.testing.assert_allclose(e_chunk, e_full, rtol=1e-10)
+
+
 def test_evaluate_design_batch_rejects_mixed_nu():
     import pytest as _pytest
     from topopteval_tpu.api import evaluate_design_batch

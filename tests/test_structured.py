@@ -59,6 +59,27 @@ def test_structured_simp_scaling():
                                rtol=1e-11, atol=1e-12)
 
 
+def test_structured_hex_ke_matches_matvec():
+    """The assembled 24x24 hex stiffness (_hex_ke, the constant the
+    fused Pallas stencil kernel bakes in) applied on a single-hex mesh
+    equals the slice-formulation matvec."""
+    rng = np.random.default_rng(2)
+    st = StructuredStiffnessOperator.build(
+        1, 1, 1, (0, 0, 0), (0.5, 0.4, 0.3), LAM, MU, dtype=jnp.float64)
+    ke = st._hex_ke()                          # VTK corner-major k*3+a
+    u = rng.standard_normal(24)
+    ref = np.asarray(st.matvec_raw(jnp.asarray(u)))
+    # lattice DOF (node (iz,iy,ix) flat = iz*4+iy*2+ix) <-> VTK corner
+    from topopteval_tpu.fem.structured import _CORNER_OFFSETS
+    perm = np.array([(oz * 4 + oy * 2 + ox) * 3 + a
+                     for (oz, oy, ox) in _CORNER_OFFSETS
+                     for a in range(3)])
+    f = ke @ u[perm]
+    out = np.zeros(24)
+    out[perm] = f
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-13)
+
+
 def test_structured_blocks_and_diagonal():
     mesh, gen, st = _pair(mask=True)
     np.testing.assert_allclose(np.asarray(st.node_blocks_raw()),

@@ -1,20 +1,28 @@
-"""Probe: why does bench.py's 20-matvec stencil chain report ~450 ms per
-matvec when the full MG-PCG solve runs 36.6 ms/iter (~5 stencil
-applications each)?  Times the structured stencil matvec three ways:
+"""On-chip A/B: structured stencil matvec formulations (round-4).
 
-  a) chains of length 1/5/20 (one program each, jit-unrolled)
-  b) 20 separate single-matvec calls, host-forced each time
-  c) the V-cycle preconditioner apply for comparison
+Modes (argv[1]): ``mxu`` (cell-batched [C,24]x[24,24] MXU matmul) vs
+``slices`` (per-tet-type elementwise grids on the VPU — the round-1..3
+formulation, measured 4.29 ms/matvec at 1.23M tets = the entire headline
+solve).  Times the raw fine matvec and the full public-API MG-PCG solve.
 
-Usage: python tools/tpu_stencil_probe.py [scale]
+    python tools/tpu_stencil_probe.py {mxu|slices} [scale]
+
+Run each mode in its own process (the formulation switch TOPOPT_STENCIL
+is read at trace time; separate processes keep the jit caches and the
+remote-compile shapes clean).
 """
 
+import functools
+import json
 import os
 import sys
 import time
 
 import numpy as np
 
+mode = sys.argv[1] if len(sys.argv) > 1 else "mxu"
+scale = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+os.environ["TOPOPT_STENCIL"] = mode
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -25,34 +33,34 @@ def log(msg):
 
 
 def main():
-    import functools
-
     import jax
     import jax.numpy as jnp
 
-    from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
-                                    assemble_stiffness_matrix,
-                                    setup_problem, _get_multigrid)
+    from topopteval_tpu.api import (_get_multigrid, apply_fixed_boundary,
+                                    apply_force, assemble_stiffness_matrix,
+                                    setup_problem, solve_system)
+    from topopteval_tpu.config import SolverConfig
     from topopteval_tpu.fem.bc import nodes_at_plane
     from topopteval_tpu.materials import lame_parameters
     from topopteval_tpu.models.beams import generate_grid_tet
     from topopteval_tpu.utils import set_verbosity
 
     set_verbosity(False)
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    dtype = jnp.float32
     nx, ny, nz = 25 * scale // 2, 4 * scale, scale
     lam, mu = lame_parameters(1.0, 0.3)
     mesh = generate_grid_tet(nx, ny, nz, (0.0, 0.0, 0.0),
                              (60.0, 20.0, 4.0))
-    problem = setup_problem(mesh, dtype=jnp.float32)
+    problem = setup_problem(mesh, dtype=dtype)
     assemble_stiffness_matrix(problem, lam, mu)
     apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0))
-    apply_force(problem, nodes_at_plane(mesh, 0, 60.0), [0, 0, -1.0])
-    op, mg = _get_multigrid(problem)
-    log(f"operator: {type(op).__name__}, n_dofs={op.n_dofs}")
+    apply_force(problem, nodes_at_plane(mesh, 0, 60.0), [0.0, 0.0, -1.0])
+    op, _ = _get_multigrid(problem)
+    log(f"[{mode}] mesh {mesh.n_cells} tets, {mesh.n_dofs} dofs, "
+        f"operator {type(op).__name__}")
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal(op.n_dofs), jnp.float32)
+    x = jnp.asarray(rng.standard_normal(mesh.n_dofs), dtype)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def _chain(y, reps):
@@ -60,43 +68,32 @@ def main():
             y = op.matvec(y) * (1.0 / jnp.float32(1000.0))
         return y
 
-    for reps in (1, 5, 20):
-        r = _chain(x, reps)
-        r.block_until_ready()
-        _ = float(r[0])                       # force warm exec fully
-        t0 = time.perf_counter()
-        r = _chain(x, reps)
-        r.block_until_ready()
-        _ = float(r[0])
-        dt = time.perf_counter() - t0
-        log(f"chain reps={reps:2d}: {dt * 1e3:8.2f} ms total, "
-            f"{dt / reps * 1e3:7.2f} ms/matvec")
-
-    mv = jax.jit(op.matvec)
-    r = mv(x)
-    r.block_until_ready()
-    _ = float(r[0])
+    reps = 20
+    _chain(x, reps).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(20):
-        r = mv(r)
+    r = _chain(x, reps)
     r.block_until_ready()
     _ = float(r[0])
-    dt = time.perf_counter() - t0
-    log(f"20 single calls (1 sync): {dt * 1e3:8.2f} ms total, "
-        f"{dt / 20 * 1e3:7.2f} ms/matvec")
+    mv_ms = (time.perf_counter() - t0) / reps * 1e3
+    bytes_moved = 4 * (2 * 3 * mesh.n_nodes + mesh.n_cells // 6)
+    gbps = bytes_moved / (mv_ms * 1e-3) / 1e9
+    log(f"[{mode}] fine matvec: {mv_ms:.3f} ms, {gbps:.0f} GB/s min-model "
+        f"({gbps / 819.0 * 100:.1f}% of v5e HBM peak)")
 
-    mgap = jax.jit(mg.apply) if hasattr(mg, "apply") else None
-    if mgap is not None:
-        z = mgap(x)
-        z.block_until_ready()
-        _ = float(np.asarray(z).ravel()[0])
-        t0 = time.perf_counter()
-        for _ in range(5):
-            z = mgap(x)
-        z.block_until_ready()
-        _ = float(np.asarray(z).ravel()[0])
-        dt = time.perf_counter() - t0
-        log(f"V-cycle apply: {dt / 5 * 1e3:7.2f} ms/apply")
+    cfg = SolverConfig(method="cg", preconditioner="multigrid",
+                       tolerance=1e-6, max_iterations=400,
+                       chunk_iterations=50, verbose=False)
+    res = solve_system(problem, cfg)
+    res = solve_system(problem, cfg)
+    log(f"[{mode}] e2e solve: {res.solve_time:.3f}s, {res.iterations} "
+        f"iters, converged={res.converged}, energy={res.energy:.6e}")
+    print(json.dumps({"mode": mode, "scale": scale,
+                      "matvec_ms": round(mv_ms, 3),
+                      "matvec_gbps": round(gbps, 1),
+                      "solve_s": round(res.solve_time, 4),
+                      "iters": res.iterations,
+                      "energy": res.energy,
+                      "converged": bool(res.converged)}))
 
 
 if __name__ == "__main__":

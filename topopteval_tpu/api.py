@@ -1228,7 +1228,7 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
                           load_cases: Optional[np.ndarray] = None,
                           material: Optional[SIMPMaterial] = None,
                           tol: float = 1e-6, maxiter: int = 5000,
-                          dtype=None):
+                          dtype=None, lane_chunk: Optional[int] = None):
     """Compliance energies for a density batch × load cases.
 
     The TPU-native throughput path the reference has no analog for: one
@@ -1275,22 +1275,62 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
             "assemble a material or pass material= before "
             "evaluate_design_batch")
     kernel = SweepKernel.build(problem.mesh, nu, mask, dtype=dtype)
-    dens = jnp.asarray(np.asarray(densities), dtype)
-    escales = (material.youngs_modulus(dens) if material is not None
-               else dens)
+    dens_np = np.asarray(densities)
+    esc_np = np.asarray(material.youngs_modulus(dens_np)
+                        if material is not None else dens_np)
     if load_cases is None:
         load_cases = problem.f[None]
     loads = jnp.asarray(np.asarray(load_cases), dtype)
+    B, C = esc_np.shape
+    L = loads.shape[0]
     n_dev = len(jax.devices())
-    if n_dev > 1 and escales.shape[0] % n_dev == 0:
-        # place the density batch on the data axis ourselves (round-2
-        # VERDICT item 6: the user should not have to call
-        # shard_sweep_inputs to get sharded lanes)
-        from jax.sharding import Mesh as JMesh
-        dev_mesh = JMesh(np.array(jax.devices()), ("data",))
-        escales, loads = shard_sweep_inputs(dev_mesh, escales, loads)
-    energies, iters, conv = sweep_compliance(kernel, escales, loads,
-                                             tol=tol, maxiter=maxiter)
+
+    # density-batch chunking: the vmapped lanes materialize [B*L, C, k, 3]
+    # element intermediates, so at large meshes a full 64x4 batch blows
+    # 16 GB of HBM (measured OOM at 256 lanes x 131k tets on v5e).  Chunk
+    # B so lanes-x-elements stays under a budget; every chunk has the
+    # same shape -> ONE compile, sequential launches.
+    if lane_chunk is None:
+        budget = float(os.environ.get("TOPOPT_SWEEP_LANE_ELEMS", "8e6"))
+        lane_chunk = max(1, int(budget / max(L * C, 1)))
+        if n_dev > 1:
+            # keep each auto-sized chunk shardable over the data axis
+            # (an explicit lane_chunk= is honored as given)
+            lane_chunk = max(n_dev, lane_chunk - lane_chunk % n_dev)
+    lane_chunk = max(1, min(int(lane_chunk), B))
+
+    def run(esc):
+        escales = jnp.asarray(esc, dtype)
+        lds = loads
+        if n_dev > 1 and escales.shape[0] % n_dev == 0:
+            # place the density batch on the data axis ourselves (round-2
+            # VERDICT item 6: the user should not have to call
+            # shard_sweep_inputs to get sharded lanes)
+            from jax.sharding import Mesh as JMesh
+            dev_mesh = JMesh(np.array(jax.devices()), ("data",))
+            escales, lds = shard_sweep_inputs(dev_mesh, escales, lds)
+        return sweep_compliance(kernel, escales, lds, tol=tol,
+                                maxiter=maxiter)
+
+    if lane_chunk >= B:
+        energies, iters, conv = run(esc_np)
+    else:
+        n_chunks = -(-B // lane_chunk)
+        es, its, cvs = [], [], []
+        for ci in range(n_chunks):
+            sl = esc_np[ci * lane_chunk:(ci + 1) * lane_chunk]
+            pad = lane_chunk - sl.shape[0]
+            if pad:                      # pad the tail chunk: same shape,
+                sl = np.concatenate(     # no recompile; results sliced off
+                    [sl, np.repeat(sl[-1:], pad, axis=0)], axis=0)
+            e, it, cv = run(sl)
+            n_real = lane_chunk - pad
+            es.append(np.asarray(e)[:n_real])
+            its.append(np.asarray(it)[:n_real])
+            cvs.append(np.asarray(cv)[:n_real])
+        energies = np.concatenate(es, axis=0)
+        iters = np.concatenate(its, axis=0)
+        conv = np.concatenate(cvs, axis=0)
     conv_np = np.asarray(conv)
     if not conv_np.all():
         print_warning(

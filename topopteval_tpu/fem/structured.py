@@ -15,6 +15,7 @@ unchanged.  Supports uniform material and per-hex SIMP scaling.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -113,7 +114,37 @@ class StructuredStiffnessOperator:
 
     # -- application ---------------------------------------------------------
 
+    def _hex_ke(self) -> np.ndarray:
+        """Assembled 24x24 uniform-material hex stiffness (corner-major
+        DOF order k*3+a) from the 6 congruent tets.  Built from static
+        aux fields only → a compile-time constant under jit."""
+        K = np.zeros((24, 24))
+        eye = np.eye(3)
+        for t in range(6):
+            tet = [int(i) for i in np.asarray(_TET_SPLIT[t])]
+            gt = np.asarray(self.g[t])             # [4, 3]
+            for i in range(4):
+                for j in range(4):
+                    blk = (self.lam * np.outer(gt[i], gt[j])
+                           + self.mu * np.outer(gt[j], gt[i])
+                           + self.mu * float(gt[i] @ gt[j]) * eye)
+                    K[tet[i] * 3:tet[i] * 3 + 3,
+                      tet[j] * 3:tet[j] * 3 + 3] += self.vol[t] * blk
+        return K
+
     def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Apply the raw (unconstrained) operator.
+
+        Formulation note (round 4): a cell-batched [C,24]x[24,24] MXU
+        formulation was tried and REJECTED — on the axon backend its
+        [..., 8, 3] minor-dim intermediates both padded HBM traffic ~40x
+        (550 ms/matvec at 1.23M tets vs 4.29 ms for this path) AND
+        miscompiled (e2e solve diverged, energy off by 6 orders of
+        magnitude, while the identical program was exact to 1e-11 on
+        CPU).  Keep internals component-major [nz, ny, nx] grids."""
+        return self._matvec_raw_slices(u)
+
+    def _matvec_raw_slices(self, u: jnp.ndarray) -> jnp.ndarray:
         # component-major internals: every array in the loop body is a
         # plain [nz, ny, nx] grid (no minor-dim-3 tensors, no stacks in
         # the hot path) — both for layout efficiency and to avoid backend
