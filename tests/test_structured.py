@@ -80,6 +80,22 @@ def test_structured_hex_ke_matches_matvec():
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-13)
 
 
+def test_structured_conv_matches_slices(monkeypatch):
+    """Two-conv MXU formulation (TOPOPT_STENCIL=conv) == slice
+    formulation, including SIMP scaling and Dirichlet mask — and
+    boundary-exact (the gather conv is VALID over real cells only)."""
+    rng = np.random.default_rng(2)
+    escale = rng.uniform(0.1, 1.0, (2, 4, 6))
+    for esc in (None, escale):
+        mesh, _, st = _pair(mask=True, escale=esc)
+        u = jnp.asarray(rng.standard_normal(mesh.n_dofs))
+        monkeypatch.setenv("TOPOPT_STENCIL", "slices")
+        ref = np.asarray(st.matvec(u))
+        monkeypatch.setenv("TOPOPT_STENCIL", "conv")
+        got = np.asarray(st.matvec(u))
+        np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
+
+
 def test_structured_blocks_and_diagonal():
     mesh, gen, st = _pair(mask=True)
     np.testing.assert_allclose(np.asarray(st.node_blocks_raw()),

@@ -1,11 +1,13 @@
 """On-chip A/B: structured stencil matvec formulations (round-4).
 
-Modes (argv[1]): ``mxu`` (cell-batched [C,24]x[24,24] MXU matmul) vs
-``slices`` (per-tet-type elementwise grids on the VPU — the round-1..3
-formulation, measured 4.29 ms/matvec at 1.23M tets = the entire headline
-solve).  Times the raw fine matvec and the full public-API MG-PCG solve.
+Modes (argv[1]): ``conv`` (two tiny-channel 3D convolutions → implicit
+GEMM on the MXU) vs ``slices`` (per-tet-type elementwise grids on the
+VPU — the round-1..3 formulation, measured 4.29 ms/matvec at 1.23M tets
+= the entire headline solve).  A cell-batched ``mxu`` matmul formulation
+was rejected (550 ms + miscompile, see structured.py).  Times the raw
+fine matvec and the full public-API MG-PCG solve.
 
-    python tools/tpu_stencil_probe.py {mxu|slices} [scale]
+    python tools/tpu_stencil_probe.py {conv|slices} [scale]
 
 Run each mode in its own process (the formulation switch TOPOPT_STENCIL
 is read at trace time; separate processes keep the jit caches and the
@@ -69,7 +71,12 @@ def main():
         return y
 
     reps = 20
-    _chain(x, reps).block_until_ready()
+    # warm EVERY program in the timed region, including the tiny r[0]
+    # slice + D2H: its first use costs 0.8-11 s on axon (remote compile
+    # + tunnel), which poisoned earlier "matvec" numbers by 100x+
+    r = _chain(x, reps)
+    r.block_until_ready()
+    _ = float(r[0])
     t0 = time.perf_counter()
     r = _chain(x, reps)
     r.block_until_ready()

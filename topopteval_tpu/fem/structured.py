@@ -135,14 +135,70 @@ class StructuredStiffnessOperator:
     def matvec_raw(self, u: jnp.ndarray) -> jnp.ndarray:
         """Apply the raw (unconstrained) operator.
 
-        Formulation note (round 4): a cell-batched [C,24]x[24,24] MXU
-        formulation was tried and REJECTED — on the axon backend its
-        [..., 8, 3] minor-dim intermediates both padded HBM traffic ~40x
-        (550 ms/matvec at 1.23M tets vs 4.29 ms for this path) AND
-        miscompiled (e2e solve diverged, energy off by 6 orders of
-        magnitude, while the identical program was exact to 1e-11 on
-        CPU).  Keep internals component-major [nz, ny, nx] grids."""
+        Formulations, selected by TOPOPT_STENCIL (default ``slices``):
+        - ``slices``: per-tet-type elementwise grids (rounds 1-3) —
+          the only XLA formulation that is CORRECT on the axon backend.
+          Measured 2.3 ms/matvec at 1.23M tets (warm chain, round 4).
+        - ``conv``: two tiny-channel 3D convolutions (gather-conv with
+          the assembled hex Ke folded into the weights → per-cell SIMP
+          scale → scatter-conv).  REJECTED on axon: C=3/24 channel dims
+          are lane-padded to 128 (~40x HBM traffic, 545 ms/matvec) AND
+          the e2e solve diverged (energy -1.6e7 vs +324) while the same
+          program is exact to 1e-11 on CPU.  Kept as a documented
+          experiment + CPU parity case only.
+        - a cell-batched [C,24]x[24,24] MXU matmul formulation was
+          likewise rejected (550 ms + miscompile) and removed.
+        Both failures share one root: on this backend any MATERIALIZED
+        array with a tiny minor dim is padded to 128 lanes, and the
+        padded-op classes miscompile inside while_loop bodies.  Fast
+        path must keep a large grid dim minor (the Pallas stencil
+        kernel reads the flat DOF vector as [NZ*NY, NX*3])."""
+        mode = os.environ.get("TOPOPT_STENCIL", "slices").lower()
+        if mode == "conv":
+            return self._matvec_raw_conv(u)
         return self._matvec_raw_slices(u)
+
+    def _conv_weights(self):
+        """Weights for the two-conv formulation (trace-time constants).
+
+        w1 (gather): F[c, j*3+a] = sum_{k,b} Ke[j3a, k3b] u[c+off_k, b]
+        over the VALID cell grid — boundary-exact by construction, the
+        cell grid only covers real hexes.
+        w2 (scatter): out[n, a] = sum_j F[n-off_j, j*3+a] via a SAME-
+        padded correlation on the cell grid.
+        """
+        ke = self._hex_ke()
+        w1 = np.zeros((2, 2, 2, 3, 24))
+        w2 = np.zeros((2, 2, 2, 24, 3))
+        for j, (ozj, oyj, oxj) in enumerate(_CORNER_OFFSETS):
+            for a in range(3):
+                w2[1 - ozj, 1 - oyj, 1 - oxj, j * 3 + a, a] = 1.0
+                for k, (ozk, oyk, oxk) in enumerate(_CORNER_OFFSETS):
+                    for b in range(3):
+                        w1[ozk, oyk, oxk, b, j * 3 + a] = ke[j * 3 + a,
+                                                             k * 3 + b]
+        return w1, w2
+
+    def _matvec_raw_conv(self, u: jnp.ndarray) -> jnp.ndarray:
+        from jax import lax
+        nx, ny, nz = self.dims
+        w1, w2 = self._conv_weights()
+        dt = u.dtype
+        dn = ("NDHWC", "DHWIO", "NDHWC")
+        # precision pinned: the TPU default runs fp32 convs in bf16
+        # passes, which perturbs the operator far beyond CG tolerances
+        prec = lax.Precision.HIGHEST
+        u5 = u.reshape(1, nz + 1, ny + 1, nx + 1, 3)
+        f = lax.conv_general_dilated(
+            u5, jnp.asarray(w1, dt), (1, 1, 1), "VALID",
+            dimension_numbers=dn, precision=prec)
+        if self.escale is not None:
+            f = f * self.escale[None, :, :, :, None].astype(dt)
+        out = lax.conv_general_dilated(
+            f, jnp.asarray(w2, dt), (1, 1, 1),
+            ((1, 1), (1, 1), (1, 1)), dimension_numbers=dn,
+            precision=prec)
+        return out.reshape(-1)
 
     def _matvec_raw_slices(self, u: jnp.ndarray) -> jnp.ndarray:
         # component-major internals: every array in the loop body is a
