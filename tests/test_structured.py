@@ -96,6 +96,24 @@ def test_structured_conv_matches_slices(monkeypatch):
         np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
 
 
+def test_structured_pallas_matches_slices(monkeypatch):
+    """Fused Pallas stencil kernel (interpret mode on CPU) == slice
+    formulation: uniform + SIMP, masked, fp64 to machine eps.  The
+    difference-first accumulation (rigid-body row-sum identity) is
+    load-bearing for fp32 energy accuracy on chip — see
+    ops/pallas_stencil.py."""
+    rng = np.random.default_rng(3)
+    escale = rng.uniform(0.1, 1.0, (2, 4, 6))
+    for esc in (None, escale):
+        mesh, _, st = _pair(mask=True, escale=esc)
+        u = jnp.asarray(rng.standard_normal(mesh.n_dofs))
+        monkeypatch.setenv("TOPOPT_STENCIL", "slices")
+        ref = np.asarray(st.matvec(u))
+        monkeypatch.setenv("TOPOPT_STENCIL", "pallas")
+        got = np.asarray(st.matvec(u))
+        np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
+
+
 def test_structured_blocks_and_diagonal():
     mesh, gen, st = _pair(mask=True)
     np.testing.assert_allclose(np.asarray(st.node_blocks_raw()),

@@ -153,7 +153,17 @@ class StructuredStiffnessOperator:
         padded-op classes miscompile inside while_loop bodies.  Fast
         path must keep a large grid dim minor (the Pallas stencil
         kernel reads the flat DOF vector as [NZ*NY, NX*3])."""
-        mode = os.environ.get("TOPOPT_STENCIL", "slices").lower()
+        default = ("pallas" if jax.default_backend() != "cpu"
+                   else "slices")
+        mode = os.environ.get("TOPOPT_STENCIL", default).lower()
+        if mode == "pallas" and self.n_dofs < int(os.environ.get(
+                "TOPOPT_STENCIL_MIN_DOFS", "0")):
+            mode = "slices"                  # debug bisect knob
+        if mode == "pallas":
+            from ..ops.pallas_stencil import stencil_matvec
+            return stencil_matvec(
+                u, self.escale, self._hex_ke(), self.dims,
+                interpret=jax.default_backend() == "cpu")
         if mode == "conv":
             return self._matvec_raw_conv(u)
         return self._matvec_raw_slices(u)
