@@ -1274,7 +1274,6 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
         raise RuntimeError(
             "assemble a material or pass material= before "
             "evaluate_design_batch")
-    kernel = SweepKernel.build(problem.mesh, nu, mask, dtype=dtype)
     dens_np = np.asarray(densities)
     esc_np = np.asarray(material.youngs_modulus(dens_np)
                         if material is not None else dens_np)
@@ -1285,13 +1284,58 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
     L = loads.shape[0]
     n_dev = len(jax.devices())
 
+    # single-device route: flatten (B, L) to explicit pairs and run them
+    # 128 lanes at a time through the GEMM-form kernel (ke0) — the one
+    # batch axis fills the TPU's 128-lane tile exactly, where the
+    # double-vmap einsum route's minor batch dim is padded to 128
+    # whatever the chunk (21x temp expansion, OOM at 107k tets).
+    use_pairs = (n_dev == 1 and lane_chunk is None
+                 and os.environ.get("TOPOPT_SWEEP_PAIRS", "1") != "0")
+    if use_pairs:
+        from .parallel.sweep import sweep_compliance_pairs
+        kernel = SweepKernel.build(problem.mesh, nu, mask, dtype=dtype,
+                                   full_ke=True)
+        loads_np = np.asarray(load_cases)
+        P = B * L
+        PL = int(os.environ.get("TOPOPT_SWEEP_PAIR_LANES", "128"))
+        PL = max(1, min(PL, P))
+        bi, lj = np.divmod(np.arange(P), L)
+        e_out = np.empty(P); it_out = np.empty(P, np.int64)
+        cv_out = np.empty(P, bool)
+        for c0 in range(0, P, PL):
+            idx = np.arange(c0, min(c0 + PL, P))
+            pad = PL - idx.size
+            if pad:                      # same shape -> one compile
+                idx = np.concatenate([idx, np.repeat(idx[-1:], pad)])
+            e, it, cv = sweep_compliance_pairs(
+                kernel, jnp.asarray(esc_np[bi[idx]], dtype),
+                jnp.asarray(loads_np[lj[idx]], dtype),
+                tol=tol, maxiter=maxiter)
+            n_real = PL - pad
+            sl = slice(c0, c0 + n_real)
+            e_out[sl] = np.asarray(e)[:n_real]
+            it_out[sl] = np.asarray(it)[:n_real]
+            cv_out[sl] = np.asarray(cv)[:n_real]
+        if not cv_out.all():
+            print_warning(
+                f"{int((~cv_out).sum())} of {cv_out.size} sweep lanes "
+                f"did not converge within {maxiter} iterations")
+        return (e_out.reshape(B, L), it_out.reshape(B, L),
+                cv_out.reshape(B, L))
+
+    kernel = SweepKernel.build(problem.mesh, nu, mask, dtype=dtype)
+
     # density-batch chunking: the vmapped lanes materialize [B*L, C, k, 3]
     # element intermediates, so at large meshes a full 64x4 batch blows
     # 16 GB of HBM (measured OOM at 256 lanes x 131k tets on v5e).  Chunk
     # B so lanes-x-elements stays under a budget; every chunk has the
-    # same shape -> ONE compile, sequential launches.
+    # same shape -> ONE compile, sequential launches.  The budget counts
+    # PADDED bytes: the lane temps' (3,3)/(k,3) minor dims are tile-padded
+    # ~7x by the TPU layout (measured: 72 concurrent lanes x 107k tets
+    # compiled to 2x 7.4 GB HLO temps -> OOM), so the usable budget is
+    # ~1 KB per lane-element, not the ~150 B the unpadded shapes suggest.
     if lane_chunk is None:
-        budget = float(os.environ.get("TOPOPT_SWEEP_LANE_ELEMS", "8e6"))
+        budget = float(os.environ.get("TOPOPT_SWEEP_LANE_ELEMS", "3e6"))
         lane_chunk = max(1, int(budget / max(L * C, 1)))
         if n_dev > 1:
             # keep each auto-sized chunk shardable over the data axis

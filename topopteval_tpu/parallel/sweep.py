@@ -53,10 +53,18 @@ class SweepKernel:
     plan: RowScatterPlan
     free_mask: jnp.ndarray  # [ndof]
     nu: float = dataclasses.field(metadata={"static": True})
+    #: optional [C, 3k, 3k] unit-E element stiffness: collapses the
+    #: per-lane strain/stress einsum chain into ONE batched GEMM.  The
+    #: einsum chain's [lanes, C, q, 3, 3] temps put the lane axis minor,
+    #: which the TPU layout pads to 128 — a 7.4 GB HLO temp at 107k tets
+    #: regardless of lane count (measured OOM).  The GEMM form has no
+    #: q/3x3 intermediates at all.
+    ke0: "jnp.ndarray | None" = None
 
     @staticmethod
     def build(mesh: Mesh, nu: float, free_mask: np.ndarray,
-              dtype=jnp.float32, order: int = 2) -> "SweepKernel":
+              dtype=jnp.float32, order: int = 2,
+              full_ke: bool = False) -> "SweepKernel":
         dmesh = mesh.device(dtype=dtype)
         g, wdet = physical_gradients(dmesh.coords[dmesh.conn],
                                      mesh.element_type, order)
@@ -68,9 +76,20 @@ class SweepKernel:
         eye = jnp.eye(DIM, dtype=g.dtype)
         blocks_ek = outer + norm2[..., None, None] * eye
         plan = RowScatterPlan.build(mesh.conn, mesh.n_nodes)
+        ke0 = None
+        if full_ke:
+            # unit-E isotropic Ke, row (k,a) x col (l,b) — the same
+            # integrand as blocks_ek extended off the node diagonal
+            k = g.shape[2]
+            ke0 = (_einsum("cq,cqka,cqlb->ckalb", wdet * lam0, g, g)
+                   + _einsum("cq,cqkb,cqla->ckalb", wdet * mu0, g, g)
+                   + _einsum("cq,cqkd,cqld->ckl", wdet * mu0, g, g
+                             )[:, :, None, :, None]
+                   * eye[None, None, :, None, :])
+            ke0 = ke0.reshape(-1, k * DIM, k * DIM)
         return SweepKernel(g=g, wdet=wdet, blocks_ek=blocks_ek, plan=plan,
                            free_mask=jnp.asarray(free_mask, dtype),
-                           nu=float(nu))
+                           nu=float(nu), ke0=ke0)
 
     def block_jacobi(self, escale: jnp.ndarray) -> jnp.ndarray:
         """Per-lane inverted 3x3 node blocks [n_nodes, 3, 3]."""
@@ -91,6 +110,20 @@ class SweepKernel:
         m = self.free_mask
         um = m * u
         u_e = self.plan.gather(um)
+        if self.ke0 is not None:
+            # fp32 cancellation control: rigid translations are in Ke's
+            # nullspace, so subtracting the element-mean displacement per
+            # component changes nothing analytically but shrinks the GEMM
+            # operands from |u| to |u - mean| ~ h|grad u| — raw Ke0@u_e
+            # loses ~1% of the energy at SIMP contrast (measured on chip:
+            # oracle rel err 7e-3 raw vs 6e-5 centered; same failure
+            # class as ops/pallas_stencil.py's difference accumulation)
+            C = u_e.shape[0]
+            uc = u_e - jnp.mean(u_e, axis=1, keepdims=True)
+            f_flat = _einsum("cij,cj->ci", self.ke0, uc.reshape(C, -1))
+            f_e = (escale[:, None] * f_flat).reshape(u_e.shape)
+            f = self.plan.scatter_add(f_e).reshape(-1)
+            return m * f + (1.0 - m) * u
         lam0, mu0 = lame_parameters(1.0, self.nu)
         grad_u = _einsum("cqkb,cka->cqab", self.g, u_e)
         eps = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
@@ -200,6 +233,29 @@ def sweep_compliance(kernel: SweepKernel, escales: jnp.ndarray,
     return out
 
 
+@partial(jax.jit, static_argnames=("tol", "maxiter", "precise_dots"))
+def sweep_compliance_pairs(kernel: SweepKernel, escales: jnp.ndarray,
+                           loads: jnp.ndarray, tol: float = 1e-6,
+                           maxiter: int = 5000,
+                           precise_dots: bool = True):
+    """Compliance for explicit (density, load) PAIRS: one lane each.
+
+    escales [P, C], loads [P, ndof] → energies/iterations/converged [P].
+
+    Single-vmap variant of :func:`sweep_compliance` for single-device
+    large-mesh sweeps: the caller flattens (B, L) to P and chunks P to
+    exactly 128, so the one batch axis the compiler lays out minor fills
+    the 128-lane tile with zero padding (a [B][L] double vmap at the
+    same mesh padded its minor batch dim 6→128: 21x HLO-temp expansion,
+    OOM at 107k tets)."""
+    def one(escale, f):
+        _, e, it, conv = kernel.solve_lane(escale, f, tol, maxiter,
+                                           precise_dots)
+        return e, it, conv
+
+    return jax.vmap(one)(escales, loads)
+
+
 def shard_sweep_inputs(device_mesh, escales: jnp.ndarray,
                        loads: jnp.ndarray):
     """Place the density batch over the data axis (loads replicated).
@@ -224,5 +280,6 @@ def simp_scales(material: SIMPMaterial, densities: jnp.ndarray
 jax.tree_util.register_pytree_node(
     SweepKernel,
     lambda kkernel: ((kkernel.g, kkernel.wdet, kkernel.blocks_ek,
-                      kkernel.plan, kkernel.free_mask), (kkernel.nu,)),
-    lambda aux, leaves: SweepKernel(*leaves, aux[0]))
+                      kkernel.plan, kkernel.free_mask, kkernel.ke0),
+                     (kkernel.nu,)),
+    lambda aux, leaves: SweepKernel(*leaves[:5], aux[0], leaves[5]))
