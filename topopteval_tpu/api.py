@@ -332,9 +332,35 @@ def _bell_cache_path(problem: Problem, mask) -> Optional[str]:
     return os.path.join(root, f"bell_{key}.npz")
 
 
+#: process-wide skeleton RAM cache (one entry — see fem/bell.py): lets a
+#: density sweep / SIMP swap on the same mesh+BCs skip straight to the
+#: value pass (round-4 VERDICT #1)
+_SKEL_RAM_CACHE: dict = {}
+
+
+def _skel_cache_path(problem: Problem, mask) -> Optional[str]:
+    """On-disk location of the density-INDEPENDENT hierarchy skeleton.
+
+    Disk persistence is OPT-IN (TOPOPT_BELL_SKEL_DISK=1): the skeleton
+    is multi-GB and this class of host reads cold files at ~20 MB/s, so
+    a disk round-trip loses to a rebuild; the RAM cache above is the
+    default swap path."""
+    if os.environ.get("TOPOPT_BELL_SKEL_DISK", "0") != "1":
+        return None
+    root = os.environ.get("TOPOPT_MG_CACHE_DIR",
+                          os.path.join(os.getcwd(), ".topopt_mg_cache"))
+    if root.lower() in ("0", "off", "none", ""):
+        return None
+    from .fem.bell import skeleton_cache_key
+    key = skeleton_cache_key(problem.mesh, mask, problem.quad_order)
+    return os.path.join(root, f"bellskel_{key}.npz")
+
+
 def _get_bell_multigrid(problem: Problem, mask, use_pallas=None):
     """Explicit BELL hierarchy for the general/imported-mesh path, with
-    .npz persistence keyed by mesh+material+BC hash."""
+    .npz persistence keyed by mesh+material+BC hash, plus a skeleton
+    cache keyed by mesh+BC only (density swaps re-pay values, not the
+    mesh work)."""
     from .fem.bell import (build_bell_multigrid, load_hierarchy,
                            save_hierarchy)
     t0 = time.perf_counter()
@@ -352,7 +378,9 @@ def _get_bell_multigrid(problem: Problem, mask, use_pallas=None):
     system, mg, info = build_bell_multigrid(
         problem.mesh, problem.lam, problem.mu, free_mask=mask,
         dtype=problem.dtype, order=problem.quad_order,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas,
+        skeleton_path=_skel_cache_path(problem, mask),
+        skeleton_cache=_SKEL_RAM_CACHE)
     info["cached"] = False
     if path is not None:
         try:

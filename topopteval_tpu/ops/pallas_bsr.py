@@ -454,33 +454,35 @@ def sell_matvec_aligned(cols2: jnp.ndarray, w2: jnp.ndarray,
       u_cm)
 
 
-def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
-                     data: np.ndarray, n_rows: int, n_cols: int,
-                     group: int = GROUP):
-    """Sort triplets into the chunk-aligned ELL device layouts.
+def ell_layout_aligned(rows: np.ndarray, cols: np.ndarray, n_rows: int,
+                       n_cols: int, group: int = GROUP):
+    """Chunk-aligned ELL LAYOUT (no values) for sorted-dedup triplets.
 
     Slot groups (``group`` consecutive slots, kernels derive it as
-    ``S // ng``) of each 128-node tile are
-    assigned one source chunk each; an entry of lane ``l`` with column
-    chunk ``c`` lands in one of that (tile, c) key's groups at its
-    within-(row, chunk) rank.  Padding slots point AT their group's
-    chunk (column ``c*128``) with zero data, so in-kernel indices are
-    always in [0, 128) and padded work is value-inert.
+    ``S // ng``) of each 128-node tile are assigned one source chunk
+    each; an entry of lane ``l`` with column chunk ``c`` lands in one of
+    that (tile, c) key's groups at its within-(row, chunk) rank.
+    Padding slots point AT their group's chunk (column ``c*128``) with
+    zero data, so in-kernel indices are always in [0, 128) and padded
+    work is value-inert.
 
-    Returns dict with cols2, vals2 (plane-major for blocks, slot-major
-    for scalars), cmeta [Nt, 1, 1+ng] ([ngt, chunk_0..]), S, ng,
-    n_rows_p, n_cols_p.
+    ``rows``/``cols`` MUST already be (row, col)-lexsorted and
+    deduplicated.  Returns dict with cols2, cmeta, S, ng, n_rows_p,
+    n_cols_p, plus the flat VALUE destination maps that make re-packing
+    new values on the same pattern a single fancy-scatter
+    (density-parametric hierarchies, round-4 VERDICT #1):
+
+    - ``dest9`` [nnz, 9] int64 — positions into the flat plane-major
+      block array ``vals2.reshape(-1)`` (row (t*9 + 3a+b)*S + s);
+    - ``dest1`` [nnz] int64 — positions into the flat slot-major scalar
+      array ``w2.reshape(-1)`` (row t*S + s).
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    data = np.asarray(data)
-    order = np.lexsort((cols, rows))
-    rows, cols, data = rows[order], cols[order], data[order]
     Np = _cdiv(max(n_rows, 1), LANES) * LANES
     Nt = Np // LANES
     n_cols_p = _cdiv(max(n_cols, 1), LANES) * LANES
     NCH = n_cols_p // LANES
-    block = data.ndim == 3
     nnz = len(rows)
 
     tile = rows // LANES
@@ -532,10 +534,7 @@ def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
     slot = gb_local[inv] * group + r_in_run
     fill_t = np.repeat(cgrp, group, axis=1) * LANES        # [Nt, S]
     cols_full = np.repeat(fill_t, LANES, axis=0)           # [Np, S]
-    vals_full = np.zeros((Np, S, 3, 3) if block else (Np, S),
-                         data.dtype)
     cols_full[rows, slot] = cols
-    vals_full[rows, slot] = data
 
     cmeta = np.zeros((Nt, 1, 1 + ng), np.int32)
     cmeta[:, 0, 0] = ngt
@@ -543,14 +542,59 @@ def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
 
     cols2 = cols_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
         .reshape(Nt * S, LANES).astype(np.int32)
-    if block:
-        vals2 = vals_full.reshape(Nt, LANES, S, 9) \
-            .transpose(0, 3, 2, 1).reshape(Nt * 9 * S, LANES)
-    else:
-        vals2 = vals_full.reshape(Nt, LANES, S).transpose(0, 2, 1) \
-            .reshape(Nt * S, LANES)
-    return {"cols2": cols2, "vals2": vals2, "cmeta": cmeta,
-            "S": S, "ng": ng, "n_rows_p": Np, "n_cols_p": n_cols_p}
+    lane = rows % LANES
+    # flat position of entry (row, slot) for block component 3a+b:
+    #   ((t*9 + 3a+b)*S + s)*128 + l   (plane-major vals2)
+    dest9 = ((((tile * 9)[:, None] + np.arange(9)[None, :]) * S
+              + slot[:, None]) * LANES + lane[:, None])
+    # scalar (slot-major w2): (t*S + s)*128 + l
+    dest1 = (tile * S + slot) * LANES + lane
+    return {"cols2": cols2, "cmeta": cmeta, "S": S, "ng": ng,
+            "n_rows_p": Np, "n_cols_p": n_cols_p,
+            "dest9": dest9, "dest1": dest1}
+
+
+def fill_ell_values(layout: dict, data: np.ndarray,
+                    out_dtype=None) -> np.ndarray:
+    """Scatter (dedup-sorted) triplet values into the aligned device
+    layout via the precomputed destination map — the cheap re-pack for
+    new values on a fixed pattern.  ``data`` is [nnz, 3, 3]/[nnz, 9]
+    (block) or [nnz] (scalar)."""
+    data = np.asarray(data)
+    Nt = layout["n_rows_p"] // LANES
+    S = layout["S"]
+    dt = np.dtype(out_dtype) if out_dtype is not None else data.dtype
+    if data.ndim > 1:                       # 3x3 blocks
+        vals2 = np.zeros(Nt * 9 * S * LANES, dt)
+        vals2[layout["dest9"].reshape(-1)] = \
+            data.reshape(-1, 9).astype(dt, copy=False).reshape(-1)
+        return vals2.reshape(Nt * 9 * S, LANES)
+    vals2 = np.zeros(Nt * S * LANES, dt)
+    vals2[layout["dest1"]] = data.astype(dt, copy=False)
+    return vals2.reshape(Nt * S, LANES)
+
+
+def pack_ell_aligned(rows: np.ndarray, cols: np.ndarray,
+                     data: np.ndarray, n_rows: int, n_cols: int,
+                     group: int = GROUP):
+    """Sort triplets into the chunk-aligned ELL device layouts
+    (layout derivation + value fill; see :func:`ell_layout_aligned`).
+
+    Returns dict with cols2, vals2 (plane-major for blocks, slot-major
+    for scalars), cmeta [Nt, 1, 1+ng] ([ngt, chunk_0..]), S, ng,
+    n_rows_p, n_cols_p.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    data = np.asarray(data)
+    order = np.lexsort((cols, rows))
+    rows, cols, data = rows[order], cols[order], data[order]
+    layout = ell_layout_aligned(rows, cols, n_rows, n_cols, group=group)
+    vals2 = fill_ell_values(layout, data)
+    return {"cols2": layout["cols2"], "vals2": vals2,
+            "cmeta": layout["cmeta"], "S": layout["S"],
+            "ng": layout["ng"], "n_rows_p": layout["n_rows_p"],
+            "n_cols_p": layout["n_cols_p"]}
 
 
 # ---------------------------------------------------------------------------
