@@ -120,11 +120,12 @@ def test_halo_mg_transfer_adjoint():
     assert abs(lhs - rhs) <= 1e-10 * max(abs(lhs), 1.0)
 
 
-def test_sharded_fp32_block_jacobi_clamps_tolerance(r1_default):
-    """fp32 + default-grade tolerance on the NON-multigrid sharded branch
-    must clamp to the fp32-attainable 1e-6 and converge, instead of
-    burning max_iterations (ADVICE r3: the clamp existed only on the
-    single-device path)."""
+def test_sharded_fp32_block_jacobi_certifies_tolerance(r1_default):
+    """fp32 + fp64-grade tolerance on the NON-multigrid sharded branch
+    runs fp64-certified mixed-precision refinement (round-4 VERDICT #5:
+    this route used to clamp to 1e-6; the reference honors every
+    tolerance, RobustSolver.jl:294-300).  The certified energy must
+    match the fp64 MG baseline far beyond fp32's native accuracy."""
     p = _build_problem(jnp.float32)
     cfg = _cfg(preconditioner="block_diagonal", tolerance=1e-10,
                max_iterations=3000)
@@ -132,7 +133,7 @@ def test_sharded_fp32_block_jacobi_clamps_tolerance(r1_default):
     assert r.converged and r.method == "cg(sharded)"
     assert r.iterations < 3000
     assert abs(r.energy - r1_default.energy) \
-        / abs(r1_default.energy) <= 1e-4
+        / abs(r1_default.energy) <= 1e-8
 
 
 def test_sharded_x0_warm_start():

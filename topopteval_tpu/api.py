@@ -555,15 +555,38 @@ def _solve_system_sharded(problem: Problem, config: SolverConfig,
             history = np.concatenate(hists)
         u_il64 = x64
         niter, rnorm, conv = total, rn, rn <= eps
+    elif (jnp.dtype(problem.dtype) == jnp.float32
+          and config.tolerance < 1e-6):
+        # non-MG sharded fp32 at fp64-grade tolerance: the SAME
+        # fp64-certified mixed-precision refinement as every
+        # single-device fp32 route, replacing the round-3 tolerance
+        # clamp (round-4 VERDICT #5 — the reference honors every
+        # tolerance, RobustSolver.jl:294-300).  Residuals come from the
+        # exact fp64 host twin in the public layout; inner corrections
+        # run the sharded fp32 PCG.
+        hrs = _HostRefineSystem(problem, n)
+
+        def _inner(rhs_dev, left, tol_inner):
+            rhs_slab = (hop.to_local(np.asarray(rhs_dev, np.float64))
+                        * hop.free_mask)
+            r_ = cg(hop, rhs_slab, M=M, tol=tol_inner, maxiter=left,
+                    record_history=config.history)
+            ni = int(r_.niter)
+            h = (np.asarray(r_.history)[: ni + 1]
+                 if r_.history is not None else None)
+            return hop.from_local(np.asarray(r_.x, np.float64)), ni, h
+
+        x0_64 = None
+        if x0 is not None:
+            x0_64 = np.asarray(x0, np.float64)[:n] * mask
+        x64, niter, rnorm, conv, history = _refined_generic(
+            hrs, _inner, f64_il, config.tolerance,
+            config.max_iterations, x0_64=x0_64,
+            record_history=config.history,
+            live_report=config.verbose, dtype=problem.dtype)
+        u_il64 = x64
     else:
         tol = config.tolerance
-        if jnp.dtype(problem.dtype) == jnp.float32 and tol < 1e-6:
-            # same clamp as the single-device fp32 iterative routes: the
-            # non-MG sharded branch has no fp64 refinement wrapper, so an
-            # fp64-grade tolerance would burn max_iterations (ADVICE r3)
-            log(f"Note: clamping tolerance {tol:g} -> 1e-6 for "
-                "float32 compute")
-            tol = 1e-6
         x0_slab = None
         if x0 is not None:
             x0_slab = (hop.to_local(np.asarray(x0, np.float64)[:n] * mask)
