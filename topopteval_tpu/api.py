@@ -1348,7 +1348,14 @@ def evaluate_design_batch(problem: Problem, densities: np.ndarray,
                                    full_ke=True)
         loads_np = np.asarray(load_cases)
         P = B * L
-        PL = int(os.environ.get("TOPOPT_SWEEP_PAIR_LANES", "128"))
+        # mesh-size-aware chunk (ADVICE r4): per-chunk temps scale as
+        # PL*C*(3k) floats next to the resident ke0 [C,3k,3k], so cap
+        # the lane count by the same padded-bytes budget as the legacy
+        # route instead of a flat 128; the env var stays as an override
+        budget = float(os.environ.get("TOPOPT_SWEEP_LANE_ELEMS", "3e6"))
+        auto_pl = max(1, int(budget * 12 / max(C, 1)))
+        PL = int(os.environ.get("TOPOPT_SWEEP_PAIR_LANES",
+                                str(min(128, auto_pl))))
         PL = max(1, min(PL, P))
         bi, lj = np.divmod(np.arange(P), L)
         e_out = np.empty(P); it_out = np.empty(P, np.int64)
