@@ -71,41 +71,41 @@ def oracle_main(nx, ny, nz, B, L, lanes):
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-    from topopteval_tpu.api import solve_system
-    from topopteval_tpu.config import SolverConfig
+    from topopteval_tpu.fem.bc import free_mask_from_bcs
+    from topopteval_tpu.fem.operator import assemble_scipy
+    from topopteval_tpu.fem.solvers import direct_solve
     from topopteval_tpu.utils import set_verbosity
 
     set_verbosity(False)
-    _, problem, material, densities, loads = build_case(nx, ny, nz, B, L)
+    mesh, problem, material, densities, loads = build_case(nx, ny, nz,
+                                                           B, L)
+    mask = free_mask_from_bcs(problem.n_dofs, problem.bcs)
     out = {}
     for b, j in lanes:
-        lam_b, mu_b = material.lame(densities[b])
-        problem.lam = np.asarray(lam_b, np.float64)
-        problem.mu = np.asarray(mu_b, np.float64)
-        problem.f = loads[j]
-        r = solve_system(problem, SolverConfig(method="direct",
-                                               verbose=False))
-        out[f"{b},{j}"] = r.energy
+        # end-to-end fp64: assemble in float64 and read the energy as
+        # 0.5 * u64 . f64 straight from the direct solution — going
+        # through solve_system would report energy via the problem's
+        # fp32 device operator (~1e-6 noise floor, ADVICE r4)
+        lam_b, mu_b = material.lame(np.asarray(densities[b], np.float64))
+        K = assemble_scipy(mesh, np.asarray(lam_b, np.float64),
+                           np.asarray(mu_b, np.float64),
+                           order=problem.quad_order, free_mask=mask)
+        f64 = np.asarray(loads[j], np.float64) * mask
+        u64 = direct_solve(K, f64)
+        out[f"{b},{j}"] = 0.5 * float(u64 @ f64)
     print("ORACLE " + json.dumps(out))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def run_sweep(nx=16, ny=8, nz=4, B=64, L=4, tol=1e-6, maxiter=20000,
+              oracle_budget_s=3600) -> dict:
+    """Timed design sweep + sampled-lane fp64 oracle; returns the
+    result fields (also consumed by bench.py's design-sweep leg)."""
     from topopteval_tpu.api import evaluate_design_batch
     from topopteval_tpu.utils import set_verbosity
 
     set_verbosity(False)
-    args = [int(a) for a in sys.argv[1:]]
-    nx, ny, nz = (args[0], args[1], args[2]) if len(args) >= 3 \
-        else (16, 8, 4)
-    B = args[3] if len(args) >= 4 else 64
-    L = args[4] if len(args) >= 5 else 4
-
     mesh, problem, material, densities, loads = build_case(nx, ny, nz,
                                                            B, L)
-    tol, maxiter = 1e-6, 20000
     log(f"mesh {mesh.n_cells} tets / {mesh.n_dofs} dofs; {B}x{L} lanes "
         f"(SIMP Emin=1e-9 p=3, tol={tol})")
     # warmup (compile)
@@ -129,41 +129,61 @@ def main():
            str(nx), str(ny), str(nz), str(B), str(L), "--oracle",
            ",".join(f"{b}:{j}" for b, j in sampled)]
     t0 = time.perf_counter()
-    res = subprocess.run(cmd, capture_output=True, text=True,
-                         timeout=3600)
     errs = []
-    if res.returncode == 0:
-        for line in reversed(res.stdout.strip().splitlines()):
-            if line.startswith("ORACLE "):
-                table = json.loads(line[len("ORACLE "):])
-                for b, j in sampled:
-                    ref = table[f"{b},{j}"]
-                    errs.append(abs(float(e[b, j]) - ref) / abs(ref))
-                break
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=oracle_budget_s)
+        if res.returncode == 0:
+            for line in reversed(res.stdout.strip().splitlines()):
+                if line.startswith("ORACLE "):
+                    table = json.loads(line[len("ORACLE "):])
+                    for b, j in sampled:
+                        ref = table[f"{b},{j}"]
+                        errs.append(abs(float(e[b, j]) - ref) / abs(ref))
+                    break
+        else:
+            log(f"WARNING: oracle subprocess failed "
+                f"rc={res.returncode}: {(res.stderr or '')[-400:]}")
+    except subprocess.TimeoutExpired:
+        # the sweep throughput must survive an oracle overrun (ADVICE
+        # r4): fall through to the errs-empty warning path
+        log(f"WARNING: fp64 oracle subprocess exceeded "
+            f"{oracle_budget_s}s; reporting throughput without it")
     if errs:
         log(f"fp64 oracle rel errs (3 sampled lanes, "
             f"{time.perf_counter() - t0:.0f}s): "
             f"{[f'{x:.2e}' for x in errs]}")
-    else:
-        log(f"WARNING: oracle subprocess failed rc={res.returncode}: "
-            f"{(res.stderr or '')[-400:]}")
-
-    print(json.dumps({
-        "metric": "design_sweep_lanes_per_s",
-        "value": round(lanes / dt, 3),
-        "unit": "lanes/s",
-        "vs_baseline": None,
-        "detail": {
+    return {"lanes_per_s": round(lanes / dt, 3),
             "B": B, "L": L, "n_tets": mesh.n_cells,
             "n_dofs": mesh.n_dofs,
             "converged_lanes": int(conv.sum()),
             "total_lanes": lanes,
             "iters_median": int(np.median(it)),
             "iters_max": int(it.max()),
+            "oracle_rel_errs": errs or None,
+            "tolerance": tol,
+            "seconds": round(dt, 3)}
+
+
+def main():
+    import jax
+
+    args = [int(a) for a in sys.argv[1:]]
+    nx, ny, nz = (args[0], args[1], args[2]) if len(args) >= 3 \
+        else (16, 8, 4)
+    B = args[3] if len(args) >= 4 else 64
+    L = args[4] if len(args) >= 5 else 4
+    r = run_sweep(nx, ny, nz, B, L)
+    errs = r.pop("oracle_rel_errs")
+    print(json.dumps({
+        "metric": "design_sweep_lanes_per_s",
+        "value": r["lanes_per_s"],
+        "unit": "lanes/s",
+        "vs_baseline": None,
+        "detail": {
+            **r,
             "oracle_rel_err_max": max(errs) if errs else None,
             "simp": {"Emin": 1e-9, "p": 3.0},
-            "tolerance": tol,
-            "seconds": round(dt, 3),
             "device": str(jax.devices()[0]),
         },
     }))

@@ -30,13 +30,14 @@ sys.path.insert(0, REPO)
 TABLE = os.path.join(REPO, "data", "oracle_energies.json")
 
 
-def compute(scale: int, order: int = 1) -> float:
+def compute(scale: int, order: int = 1, simp: bool = False) -> float:
     from topopteval_tpu.api import (apply_fixed_boundary, apply_force,
                                     assemble_stiffness_matrix,
+                                    assemble_stiffness_matrix_simp,
                                     setup_problem, solve_system)
     from topopteval_tpu.config import SolverConfig
     from topopteval_tpu.fem.bc import nodes_at_plane
-    from topopteval_tpu.materials import lame_parameters
+    from topopteval_tpu.materials import SIMPMaterial, lame_parameters
     from topopteval_tpu.models.beams import generate_grid_tet
     from topopteval_tpu.utils import set_verbosity
 
@@ -51,7 +52,20 @@ def compute(scale: int, order: int = 1) -> float:
         mesh.structured_info = None
     problem = setup_problem(mesh, interpolation_order=order,
                             dtype=jnp.float64)
-    assemble_stiffness_matrix(problem, lam, mu)
+    if simp:
+        # reference SIMP parameters: test/runtests.jl:63-67.  Route via
+        # the BELL (Galerkin) hierarchy: the structured geometric-MG
+        # coarse operators are coefficient-blind and STALL at the
+        # vfrac field's 1e-8 contrast, while the Galerkin RAP chain
+        # converges (~60 iters at scale 2, fp64 exact to 9e-15)
+        from topopteval_tpu.models.density import bench_simp_density
+        mesh.structured_info = None
+        problem.mesh.structured_info = None
+        mat = SIMPMaterial(E0=1.0, nu=0.3, Emin=1e-8, p=3.0)
+        assemble_stiffness_matrix_simp(problem, mat,
+                                       bench_simp_density(nx, ny, nz))
+    else:
+        assemble_stiffness_matrix(problem, lam, mu)
     # node selection on problem.mesh: for order=2 that is the TET10 mesh
     # (mid-edge nodes on the planes included) — must match bench.py's
     # selection exactly, else the load split/clamping differ
@@ -64,7 +78,8 @@ def compute(scale: int, order: int = 1) -> float:
         cfg = SolverConfig(method="direct", verbose=False)
     else:
         cfg = SolverConfig(method="cg", preconditioner="multigrid",
-                           tolerance=1e-11, max_iterations=400,
+                           tolerance=1e-11,
+                           max_iterations=2000 if simp else 400,
                            verbose=False)
     res = solve_system(problem, cfg)
     assert res.converged, (res.iterations, res.residual_norm)
@@ -75,9 +90,14 @@ def compute(scale: int, order: int = 1) -> float:
 def main():
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     order = 2 if "--order2" in sys.argv else 1
-    e = compute(scale, order)
-    key = (f"tet10_beam_scale_{scale}" if order == 2
-           else f"tet_beam_scale_{scale}")
+    simp = "--simp" in sys.argv
+    e = compute(scale, order, simp=simp)
+    if simp:
+        key = f"simp_beam_scale_{scale}"
+    elif order == 2:
+        key = f"tet10_beam_scale_{scale}"
+    else:
+        key = f"tet_beam_scale_{scale}"
     if "--update-table" in sys.argv:
         table = {}
         if os.path.exists(TABLE):
