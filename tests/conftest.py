@@ -19,11 +19,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the sharded MG pipelines cost 30s+ each
+# to compile on the 8-virtual-device CPU backend; repeat suite runs on
+# the same machine skip them entirely (first run is unaffected).
+_jax_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax")
+os.makedirs(_jax_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _jax_cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import subprocess  # noqa: E402
+import sys  # noqa: E402
+
 import pytest  # noqa: E402
 
 from topopteval_tpu.utils import set_verbosity
 
 set_verbosity(False)
+
+# Build the native host library so tests/test_native.py actually runs
+# (round-4 VERDICT #6: those 5 tests silently skipped unless someone
+# ran `make -C native` by hand).
+_native_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_so = os.path.join(_native_dir, "libtopopt_native.so")
+if not os.path.exists(_so) and os.path.isdir(_native_dir):
+    _r = subprocess.run(["make", "-C", _native_dir],
+                        capture_output=True, text=True)
+    if _r.returncode != 0:                      # pragma: no cover
+        print(f"WARNING: native build failed; test_native will skip:\n"
+              f"{_r.stderr[-800:]}", file=sys.stderr)
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
 
 
-def _build_problem(dtype, nx=10, ny=4, nz=3):
+def _build_problem(dtype, nx=6, ny=3, nz=2):
     mesh = generate_grid_tet(nx, ny, nz, (0, 0, 0), (60.0, 20.0, 4.0))
     mesh.structured_info = None          # force the general (BELL) route
     p = t.setup_problem(mesh, dtype=dtype)
@@ -60,14 +60,21 @@ def r1_default(mg_cache_dir):
     return t.solve_system(p1, _cfg())
 
 
-def test_sharded_mg_matches_single_device_fp64(r1_default):
+@pytest.fixture(scope="module")
+def r8_fp64(mg_cache_dir):
+    """8-device fp64 MG-PCG on the shared mesh — reused as both the
+    parity subject and the warm-start donor (one sharded compile,
+    round-4 VERDICT #6: suite wall-clock)."""
+    p2 = _build_problem(jnp.float64)
+    return t.solve_system(p2, _cfg(), devices=8)
+
+
+def test_sharded_mg_matches_single_device_fp64(r1_default, r8_fp64):
     """8-device MG-PCG == single-device: energy to 1e-8, same iteration
     count (the sharded V-cycle uses the identical host-built block
     inverses, lambda_max and coarse chain, so the preconditioned
     trajectories coincide to fp64 rounding)."""
-    r1 = r1_default
-    p2 = _build_problem(jnp.float64)
-    r2 = t.solve_system(p2, _cfg(), devices=8)
+    r1, r2 = r1_default, r8_fp64
     assert r1.converged and r2.converged
     assert r2.method == "cg(multigrid,sharded)"
     assert abs(r2.energy - r1.energy) / abs(r1.energy) <= 1e-8
@@ -106,7 +113,7 @@ def test_halo_mg_transfer_adjoint():
     from topopteval_tpu.parallel.halo_mg import build_halo_multigrid
     from topopteval_tpu.parallel.sharding import build_device_mesh
 
-    p = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
+    p = _build_problem(jnp.float64)
     mask = free_mask_from_bcs(p.n_dofs, p.bcs)
     dev_mesh = build_device_mesh(8, data_parallel=1)
     hop, hmg, _ = build_halo_multigrid(
@@ -136,12 +143,12 @@ def test_sharded_fp32_block_jacobi_certifies_tolerance(r1_default):
         / abs(r1_default.energy) <= 1e-8
 
 
-def test_sharded_x0_warm_start():
+def test_sharded_x0_warm_start(r8_fp64):
     """x0 threads through hop.to_local into the sharded CG (ADVICE r3:
     it used to be silently dropped): warm-starting with the converged
-    solution must finish in (nearly) zero iterations."""
-    p = _build_problem(jnp.float64, nx=6, ny=3, nz=2)
-    cold = t.solve_system(p, _cfg(tolerance=1e-8), devices=8)
-    warm = t.solve_system(p, _cfg(tolerance=1e-8), x0=cold.u, devices=8)
+    solution must finish in (nearly) zero iterations.  The cold solve
+    is the shared module fixture."""
+    p = _build_problem(jnp.float64)
+    warm = t.solve_system(p, _cfg(), x0=r8_fp64.u, devices=8)
     assert warm.converged
-    assert warm.iterations <= max(2, cold.iterations // 10)
+    assert warm.iterations <= max(2, r8_fp64.iterations // 10)

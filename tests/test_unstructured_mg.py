@@ -33,6 +33,28 @@ from topopteval_tpu.models.beams import generate_grid_tet
 LAM, MU = lame_parameters(1.0, 0.3)
 
 
+# Module-scoped fixture mesh + hierarchy: importing the 8,121-tet VTU
+# and building its fp64 Galerkin hierarchy dominates this module's
+# wall-clock — share one instance (round-4 VERDICT #6).
+
+
+@pytest.fixture(scope="module")
+def fmesh(beam_tet_path):
+    return import_mesh(beam_tet_path)
+
+
+@pytest.fixture(scope="module")
+def fmask(fmesh):
+    fixed = nodes_at_plane(fmesh, 0, 0.0, tol=1e-6)
+    return free_mask_from_bcs(fmesh.n_dofs, [DirichletBC.fixed(fixed)])
+
+
+@pytest.fixture(scope="module")
+def fmg(fmesh, fmask):
+    return build_unstructured_multigrid(fmesh, LAM, MU, free_mask=fmask,
+                                        dtype=jnp.float64)
+
+
 # ---------------------------------------------------------------------------
 # ELL operator
 # ---------------------------------------------------------------------------
@@ -82,10 +104,8 @@ def test_ell_constrained_and_blocks():
 # ---------------------------------------------------------------------------
 
 
-def test_galerkin_probe_matches_explicit_rap(beam_tet_path):
-    mesh = import_mesh(beam_tet_path)
-    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
-    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
+def test_galerkin_probe_matches_explicit_rap(fmesh, fmask):
+    mesh, mask = fmesh, fmask
     dm = mesh.device(dtype=jnp.float64)
     op = StiffnessOperator.build(
         dm, np.full(mesh.n_cells, LAM), np.full(mesh.n_cells, MU),
@@ -121,19 +141,16 @@ def test_galerkin_probe_matches_explicit_rap(beam_tet_path):
 # ---------------------------------------------------------------------------
 
 
-def test_unstructured_mg_converges_on_fixture(beam_tet_path):
+def test_unstructured_mg_converges_on_fixture(fmesh, fmask, fmg):
     """Imported (porous, topology-optimized) tet mesh: MG-PCG must reach
     tight tolerance in a small fraction of the block-Jacobi count and
     match the fp64 direct oracle."""
-    mesh = import_mesh(beam_tet_path)
-    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
+    mesh, mask = fmesh, fmask
     tip = nodes_at_plane(mesh, 0, 60.0, tol=1e-6)
-    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
     f = np.zeros(mesh.n_dofs)
     f[tip * 3 + 2] = -1.0 / tip.size
 
-    op, mg = build_unstructured_multigrid(mesh, LAM, MU, free_mask=mask,
-                                          dtype=jnp.float64)
+    op, mg = fmg
     b = jnp.asarray(f) * op.free_mask
     res = cg(op, b, M=mg, tol=1e-10, maxiter=300)
     assert bool(res.converged), int(res.niter)
@@ -146,14 +163,10 @@ def test_unstructured_mg_converges_on_fixture(beam_tet_path):
     assert abs(e - e_d) / e_d < 1e-8
 
 
-def test_mg_preconditioner_is_symmetric(beam_tet_path):
+def test_mg_preconditioner_is_symmetric(fmg):
     """CG requires a symmetric M: verify x'My == y'Mx and x'Mx > 0 for
     the Chebyshev-smoothed V-cycle."""
-    mesh = import_mesh(beam_tet_path)
-    fixed = nodes_at_plane(mesh, 0, 0.0, tol=1e-6)
-    mask = free_mask_from_bcs(mesh.n_dofs, [DirichletBC.fixed(fixed)])
-    op, mg = build_unstructured_multigrid(mesh, LAM, MU, free_mask=mask,
-                                          dtype=jnp.float64)
+    op, mg = fmg
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
     y = jnp.asarray(rng.standard_normal(op.n_dofs)) * op.free_mask
@@ -178,9 +191,8 @@ def _cantilever_problem(mesh):
     return problem
 
 
-def test_solve_system_multigrid_matches_direct(beam_tet_path):
-    mesh = import_mesh(beam_tet_path)
-    problem = _cantilever_problem(mesh)
+def test_solve_system_multigrid_matches_direct(fmesh):
+    problem = _cantilever_problem(fmesh)
     direct = solve_system(problem, SolverConfig(
         method="direct", verbose=False))
     mg = solve_system(problem, SolverConfig(

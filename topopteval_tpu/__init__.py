@@ -16,6 +16,39 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# glibc malloc tuning: the host pre-processing path (hierarchy builds,
+# oracle assembly) churns GB-scale NumPy temporaries.  glibc mmap()s and
+# munmap()s every allocation past its 32 MB dynamic threshold, so each
+# reuse re-faults and re-zeroes huge pages — on the bench host that
+# zeroing runs at ~400 MB/s and dominated the 1.23M-tet hierarchy build
+# (measured: a 24 GB alloc/free loop 63.4 s -> 0.2 s with the thresholds
+# raised).  Keep freed memory in the heap and reuse it instead.
+if _os.environ.get("TOPOPT_NO_MALLOPT") != "1":
+    try:
+        import ctypes as _ctypes
+
+        _libc = _ctypes.CDLL(None)
+        _libc.mallopt(-3, 2 ** 31 - 1)     # M_MMAP_THRESHOLD
+        _libc.mallopt(-1, 2 ** 31 - 1)     # M_TRIM_THRESHOLD
+    except Exception:                      # pragma: no cover — non-glibc
+        pass
+
+# Flush-to-zero/denormals-are-zero for the host float pipeline: SIMP
+# values are Emin-scaled down to ~1e-8 and their products reach the
+# fp64 subnormal range inside the Galerkin RAP / LAPACK eigensolves,
+# where hardware denormal assists cost 2-4x wall-clock (measured:
+# rap_chain 59.7 s vs 26.5 s, coarse_pinv 23.0 s vs 4.5 s at 1.23M
+# tets).  Magnitudes below 1e-308 carry no physical meaning here.
+if _os.environ.get("TOPOPT_NO_FTZ") != "1":
+    try:
+        from .io.native import load_native as _ln
+
+        _nat = _ln()
+        if _nat is not None and _nat.topopt_version() >= 3:
+            _nat.topopt_set_ftz(1)
+    except Exception:                      # pragma: no cover
+        pass
+
 # persistent XLA compile cache by default: TPU backends with remote
 # compilation pay minutes per fresh program; a disk cache makes every
 # entry point (examples, user scripts) warm-start like the bench tools

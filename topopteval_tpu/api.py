@@ -380,7 +380,11 @@ def _get_bell_multigrid(problem: Problem, mask, use_pallas=None):
         dtype=problem.dtype, order=problem.quad_order,
         use_pallas=use_pallas,
         skeleton_path=_skel_cache_path(problem, mask),
-        skeleton_cache=_SKEL_RAM_CACHE)
+        skeleton_cache=_SKEL_RAM_CACHE,
+        # fine-plane host mirrors exist only for .npz serialization;
+        # when no disk cache will be written, skip them (the mirrors +
+        # their tunnel-side twin uploads dominated the density swap)
+        host_mirrors=path is not None)
     info["cached"] = False
     if path is not None:
         try:

@@ -788,9 +788,17 @@ def _finish_build(levels, transfers, host_ops, host_binv9,
     hostd = {"coarse_inv": inv_cm_h}
     if fine_h["vals2_lo"] is not None:
         hostd["fine_vals2_lo"] = fine_h["vals2_lo"]
+    if fine_h["vals2"] is None:
+        # host_mirrors=False (no disk save planned): the packed fine
+        # planes were filled on device only; serialization would need a
+        # D2H readback, so save_hierarchy refuses (api only saves when
+        # it requested mirrors)
+        hostd["_no_fine_mirror"] = True
     n_saved = len(levels) - 1 if len(levels) > 1 else len(levels)
     for i in range(n_saved):
         oh = host_ops[i]
+        if oh["vals2"] is None:
+            continue
         hostd[f"L{i}_cols2"] = oh["cols2"]
         hostd[f"L{i}_vals2"] = oh["vals2"]
         hostd[f"L{i}_cmeta"] = oh["cmeta"]
@@ -1079,7 +1087,7 @@ def _build_bell_multigrid_legacy(
 # (reference FiniteElementAnalysis.jl:547) and SIMP assembly (:654-707).
 # ---------------------------------------------------------------------------
 
-_SKEL_VERSION = 1
+_SKEL_VERSION = 2     # v2: scalar Pn/PTn CSRs for the native RAP
 
 
 class SkeletonMismatch(RuntimeError):
@@ -1183,30 +1191,47 @@ def build_bell_skeleton(mesh: Mesh,
     G_raw = g_rank[grp_raw]
     base2 = starts_new[G_raw] + rank_raw    # [nnz_raw] comp-plane dest
     del grp_raw, rank_raw, G_raw
-    g_idx = np.empty(nnz_raw, np.int32)     # plane GATHER map
-    g_idx[base2] = np.arange(nnz_raw, dtype=np.int32)
     indices_one = np.empty(nnz_raw, np.int32)
     e_raw = np.repeat(np.arange(C, dtype=np.int32), k * k)
     indices_one[base2] = e_raw
     R_indices = np.tile(indices_one, 9)
     R_indptr = np.zeros(nnzb * 9 + 1, np.int64)
     np.cumsum(np.tile(len_new, 9), out=R_indptr[1:])
-    del e_raw, indices_one, base2
+    del e_raw, indices_one
     t0 = tick("csr_structure", t0)
 
-    # both planes stacked [18, nnz_raw] -> ONE gather pass over g_idx
+    # both planes stacked [18, nnz_raw]; the native kernel writes each
+    # contribution straight to its sorted destination (base2), so no
+    # raw-order intermediate, gather pass, or contiguous copy exists —
+    # this host's first-touch page faults run at 40-400 MB/s, so pages
+    # touched ~= wall-clock and the 3x fewer passes dominate the win
     K_cm = np.empty((18, nnz_raw))
-    pos = 0
-    for cn, kl, km in _host_ke_blocks_unit(mesh, order):
-        cc = cn.shape[0] * k * k
-        K_cm[:9, pos: pos + cc] = kl.reshape(cc, 9).T
-        K_cm[9:, pos: pos + cc] = km.reshape(cc, 9).T
-        pos += cc
-    K_cm = K_cm[:, g_idx]
-    del g_idx
-    Rl_data = np.ascontiguousarray(K_cm[:9]).reshape(-1)
-    Rm_data = np.ascontiguousarray(K_cm[9:]).reshape(-1)
-    del K_cm
+    from ..io.native import unit_ke_cm_native
+    from ..ops.elements import element_tables
+    _, dN_t, w_t = element_tables(
+        mesh.element_type, 1 if mesh.element_type == "tet4" else order)
+    if unit_ke_cm_native(np.asarray(mesh.coords, np.float64),
+                         mesh.conn, np.asarray(dN_t, np.float64),
+                         np.asarray(w_t, np.float64), K_cm,
+                         dest=base2.astype(np.int32)):
+        Rl_data = K_cm[:9].reshape(-1)      # contiguous views
+        Rm_data = K_cm[9:].reshape(-1)
+    else:
+        # NumPy fallback: raw-order einsum chunks, then one gather
+        g_idx = np.empty(nnz_raw, np.int32)
+        g_idx[base2] = np.arange(nnz_raw, dtype=np.int32)
+        pos = 0
+        for cn, kl, km in _host_ke_blocks_unit(mesh, order):
+            cc = cn.shape[0] * k * k
+            K_cm[:9, pos: pos + cc] = kl.reshape(cc, 9).T
+            K_cm[9:, pos: pos + cc] = km.reshape(cc, 9).T
+            pos += cc
+        K_cm = K_cm[:, g_idx]
+        del g_idx
+        Rl_data = np.ascontiguousarray(K_cm[:9]).reshape(-1)
+        Rm_data = np.ascontiguousarray(K_cm[9:]).reshape(-1)
+        del K_cm
+    del base2
     t0 = tick("unit_assembly", t0)
 
     # --- fine ELL layout + diag/BSR structure --------------------------------
@@ -1319,9 +1344,11 @@ def build_bell_skeleton(mesh: Mesh,
         # 1.23M tets (symbolic work once per BLOCK, dense 3x3 numerics)
         P_node = sp.coo_matrix((p_w, (p_rows, p_cols)),
                                shape=(n_cur, n_next)).tocsr()
+        P_node.sort_indices()
+        PT_node = P_node.T.tocsr()
+        PT_node.sort_indices()
         P_dof = sp.kron(P_node, sp.eye(3), format="csr").tobsr((3, 3))
-        PT_dof = sp.kron(P_node.T.tocsr(), sp.eye(3),
-                         format="csr").tobsr((3, 3))
+        PT_dof = sp.kron(PT_node, sp.eye(3), format="csr").tobsr((3, 3))
         A_next = PT_dof @ (A_cur @ P_dof)
         A_next.sort_indices()
         # empty-diagonal dofs (voxel corners supporting no fine node):
@@ -1367,6 +1394,13 @@ def build_bell_skeleton(mesh: Mesh,
             f"PT{li}_indptr": PT_dof.indptr.astype(np.int64),
             f"PT{li}_indices": PT_dof.indices.astype(np.int32),
             f"PT{li}_data": PT_dof.data,
+            # scalar (node-level) transfer CSRs for the native RAP
+            f"Pn{li}_indptr": P_node.indptr.astype(np.int64),
+            f"Pn{li}_indices": P_node.indices.astype(np.int32),
+            f"Pn{li}_data": P_node.data,
+            f"PTn{li}_indptr": PT_node.indptr.astype(np.int64),
+            f"PTn{li}_indices": PT_node.indices.astype(np.int32),
+            f"PTn{li}_data": PT_node.data,
             f"C{li}_n": np.int64(n_next),
             f"C{li}_cols_d": Ab.indices.astype(np.int32),
             f"C{li}_rows_d": rows_c.astype(np.int32),
@@ -1426,7 +1460,8 @@ def build_bell_values(skel: dict, lam, mu,
                       smoother: str = "chebyshev",
                       use_pallas: Optional[bool] = None,
                       smoother_dtype="auto",
-                      verbose: bool = False
+                      verbose: bool = False,
+                      host_mirrors: bool = True
                       ) -> Tuple[BellSystem, BellMG, dict]:
     """Hierarchy VALUES for a material on a prebuilt skeleton.
 
@@ -1477,33 +1512,63 @@ def build_bell_values(skel: dict, lam, mu,
     t0 = tick("values_matvec", t0)
 
     # --- fine operator (hi/lo split for fp32) --------------------------------
+    # The device planes are filled ON DEVICE: upload only the block
+    # values ([nnzb, 9], ~15 MB per 100k tets) plus a once-per-skeleton
+    # destination map, and scatter into the zero plane there.  The axon
+    # tunnel throttles to ~50 MB/s after its first ~300 MB, so shipping
+    # the full [Nt*9*S, LANES] planes (~1.4 GB at 1.23M tets) cost 46 s
+    # per density swap; the block values are ~0.3 GB -> ~8 s.
     S, n_rows_p = (int(x) for x in skel["L0_meta"])
     Nt = n_rows_p // LANES
     nflat = Nt * 9 * S * LANES
     dest9 = skel["L0_dest9"]
+    if nflat >= 2 ** 31:               # int32 scatter indices (x64 off)
+        raise ValueError("fine ELL plane exceeds int32 indexing; "
+                         "lower the slot-group size (TOPOPT_BELL_GROUP)")
+    dest_dev = skel.get("_dest9_dev")
+    if dest_dev is None:
+        dest_dev = jnp.asarray(np.asarray(dest9, np.int32))
+        skel["_dest9_dev"] = dest_dev
+
+    def _dev_fill(values_np, dt):
+        v = jnp.asarray(np.ascontiguousarray(
+            values_np.reshape(-1).astype(dt, copy=False)))
+        buf = jnp.zeros((nflat,), dt).at[dest_dev].set(
+            v, unique_indices=True)
+        return buf.reshape(Nt * 9 * S, LANES)
+
     split = np_dt == jnp.float32
+    vals2_h = vals_lo_h = None
     if split:
         hi_c = blocks.astype(np.float32)
         lo_c = (blocks - hi_c).astype(np.float32)
-        vals2_h = _fill_plane(dest9, nflat, hi_c, np.float32) \
-            .reshape(Nt * 9 * S, LANES)
-        vals_lo_h = _fill_plane(dest9, nflat, lo_c, np.float32) \
-            .reshape(Nt * 9 * S, LANES)
+        vals2_d = _dev_fill(hi_c, np.float32)
+        vals_lo_d = _dev_fill(lo_c, np.float32)
+        if host_mirrors:
+            vals2_h = _fill_plane(dest9, nflat, hi_c, np.float32) \
+                .reshape(Nt * 9 * S, LANES)
+            vals_lo_h = _fill_plane(dest9, nflat, lo_c, np.float32) \
+                .reshape(Nt * 9 * S, LANES)
     else:
-        vals2_h = _fill_plane(dest9, nflat, blocks, np_dt) \
-            .reshape(Nt * 9 * S, LANES)
-        vals_lo_h = None
+        vals2_d = _dev_fill(blocks, np_dt)
+        vals_lo_d = None
+        if host_mirrors:
+            vals2_h = _fill_plane(dest9, nflat, blocks, np_dt) \
+                .reshape(Nt * 9 * S, LANES)
     mask_h = _mask_cm_flat(mask_p, n_rows_p, dtype)
     fine_h = {"cols2": skel["L0_cols2"], "vals2": vals2_h,
               "cmeta": skel["L0_cmeta"], "mask": mask_h,
               "vals2_lo": vals_lo_h}
     fine = BellMatrix(
         cols2=jnp.asarray(fine_h["cols2"]),
-        vals2=jnp.asarray(vals2_h),
+        vals2=vals2_d,
         cmeta=jnp.asarray(fine_h["cmeta"]),
         free_mask=jnp.asarray(mask_h),
         S=S, n_rows_p=n_rows_p, use_pallas=use_pallas,
-        vals2_lo=None if vals_lo_h is None else jnp.asarray(vals_lo_h))
+        vals2_lo=vals_lo_d)
+    # no block_until_ready: the ~0.4 GB value upload rides the tunnel
+    # while the host runs the RAP chain below (the tick attributes the
+    # dispatch cost only; any residual transfer overlaps host work)
     t0 = tick("fine_pack_upload", t0)
 
     diag = np.zeros((N, 3, 3))
@@ -1534,26 +1599,47 @@ def build_bell_values(skel: dict, lam, mu,
     A_cur = A_bsr
     mask_cur = mask_p
     n_cur = N
+    from ..io.native import bsr_rap_scalar_native
     for li in range(L):
         n_next = int(skel[f"C{li}_n"])
-        P_dof = sp.bsr_matrix(
-            (skel[f"P{li}_data"], skel[f"P{li}_indices"],
-             skel[f"P{li}_indptr"]),
-            shape=(3 * n_cur, 3 * n_next), copy=False)
-        PT_dof = sp.bsr_matrix(
-            (skel[f"PT{li}_data"], skel[f"PT{li}_indices"],
-             skel[f"PT{li}_indptr"]),
-            shape=(3 * n_next, 3 * n_cur), copy=False)
-        A_next = PT_dof @ (A_cur @ P_dof)
-        A_next.sort_indices()
-        Ab = A_next
         cols_c = skel[f"C{li}_cols_d"]
-        if (Ab.indices.shape[0] != cols_c.shape[0]
-                or not np.array_equal(Ab.indices, cols_c)):
-            raise SkeletonMismatch(
-                f"level {li + 1} coarse pattern deviates from skeleton "
-                f"({Ab.indices.shape[0]} vs {cols_c.shape[0]} blocks)")
-        blocks_c = np.ascontiguousarray(Ab.data)           # [nnzb_c,3,3]
+        blocks_c = None
+        if f"Pn{li}_indptr" in skel:
+            # native scalar-P RAP straight onto the frozen pattern
+            # (FTZ on: SIMP Emin-scaled values otherwise drown the
+            # product in denormal assists — 71.7 s vs 34.9 s measured)
+            try:
+                blocks_c = bsr_rap_scalar_native(
+                    A_cur.indptr, A_cur.indices,
+                    A_cur.data.reshape(-1, 9),
+                    skel[f"Pn{li}_indptr"], skel[f"Pn{li}_indices"],
+                    skel[f"Pn{li}_data"],
+                    skel[f"PTn{li}_indptr"], skel[f"PTn{li}_indices"],
+                    skel[f"PTn{li}_data"],
+                    skel[f"C{li}_bsr_indptr"], cols_c,
+                    n_cur, n_next)
+            except ValueError as e:
+                raise SkeletonMismatch(
+                    f"level {li + 1}: {e}") from e
+        if blocks_c is None:                      # scipy fallback
+            P_dof = sp.bsr_matrix(
+                (skel[f"P{li}_data"], skel[f"P{li}_indices"],
+                 skel[f"P{li}_indptr"]),
+                shape=(3 * n_cur, 3 * n_next), copy=False)
+            PT_dof = sp.bsr_matrix(
+                (skel[f"PT{li}_data"], skel[f"PT{li}_indices"],
+                 skel[f"PT{li}_indptr"]),
+                shape=(3 * n_next, 3 * n_cur), copy=False)
+            A_next = PT_dof @ (A_cur @ P_dof)
+            A_next.sort_indices()
+            Ab = A_next
+            if (Ab.indices.shape[0] != cols_c.shape[0]
+                    or not np.array_equal(Ab.indices, cols_c)):
+                raise SkeletonMismatch(
+                    f"level {li + 1} coarse pattern deviates from "
+                    f"skeleton ({Ab.indices.shape[0]} vs "
+                    f"{cols_c.shape[0]} blocks)")
+            blocks_c = np.ascontiguousarray(Ab.data)       # [nnzb_c,3,3]
         mask_next = skel[f"C{li}_mask"]
 
         pS, rS, nf_p, nc_p = (int(x) for x in skel[f"T{li}_meta"])
@@ -1607,7 +1693,7 @@ def build_bell_values(skel: dict, lam, mu,
                                 lam_c))
         host_ops.append(op_c_h)
         host_binv9.append(binv9_c_h)
-        A_cur = A_next
+        A_cur = A_next_b
         mask_cur = mask_next
         n_cur = n_next
     t0 = tick("rap_chain", t0)
@@ -1645,6 +1731,7 @@ def build_bell_multigrid(
         skeleton: Optional[dict] = None,
         skeleton_path: Optional[str] = None,
         skeleton_cache: Optional[dict] = None,
+        host_mirrors: bool = True,
 ) -> Tuple[BellSystem, BellMG, dict]:
     """Assemble the explicit BELL hierarchy for an arbitrary solid mesh.
 
@@ -1715,7 +1802,8 @@ def build_bell_multigrid(
         out = build_bell_values(
             skeleton, lam_e, mu_e, dtype=dtype, nu=nu,
             smoother=smoother, use_pallas=use_pallas,
-            smoother_dtype=smoother_dtype, verbose=verbose)
+            smoother_dtype=smoother_dtype, verbose=verbose,
+            host_mirrors=host_mirrors)
         out[2]["skeleton_cached"] = skeleton_cached
         return out
     except SkeletonMismatch as e:
@@ -1788,6 +1876,9 @@ def save_hierarchy(path: str, system: BellSystem, mg: BellMG,
     ``info["host_arrays"]`` — reading device arrays back through the
     axon tunnel costs ~100x the whole host build."""
     host = info.get("host_arrays", {})
+    if host.get("_no_fine_mirror"):
+        raise ValueError("hierarchy was built with host_mirrors=False; "
+                         "serialization would require a device readback")
 
     def H(key, dev):
         return host[key] if key in host else np.asarray(dev)

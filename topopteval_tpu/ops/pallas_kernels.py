@@ -422,6 +422,55 @@ def _make_iso_ke_kernel(dn_list, w_list, k):
     return kernel
 
 
+def _make_iso_ke_kernel_stream(dn_list, w_list, k):
+    """Ke kernel variant that accumulates each entry straight into the
+    VMEM out block instead of holding 9k² live register accumulators.
+
+    The baseline :func:`_make_iso_ke_kernel` keeps (3k)² = 576 (hex8) /
+    900 (tet10) live values across the whole quadrature loop — far past
+    the vector-register budget, so Mosaic spills and the kernels ran at
+    ~12x below the tet4 line (round-4 VERDICT #7).  Here each entry's
+    lifetime is one FMA + one VMEM read-modify-write; only the per-qp
+    geometry (g: 3k values) stays live."""
+    nqp = len(w_list)
+    ek = 3 * k
+
+    def kernel(coords_ref, lam_ref, mu_ref, out_ref):
+        x = [[coords_ref[3 * kk + a, :] for a in range(3)]
+             for kk in range(k)]
+        lam = lam_ref[0, :]
+        mu = mu_ref[0, :]
+        for qp in range(nqp):
+            dn = dn_list[qp]
+            J = [[sum(x[kk][a] * dn[kk][b] for kk in range(k))
+                  for b in range(3)] for a in range(3)]
+            invJ, det = _inv3_scalars(J)
+            g = [[sum(dn[kk][b] * invJ[b][a] for b in range(3))
+                  for a in range(3)] for kk in range(k)]
+            wdet = det * w_list[qp]
+            lam_w = lam * wdet
+            mu_w = mu * wdet
+            for i in range(k):
+                for j in range(k):
+                    dot = mu_w * (g[i][0] * g[j][0] + g[i][1] * g[j][1]
+                                  + g[i][2] * g[j][2])
+                    for a in range(3):
+                        row = 3 * i + a
+                        for b in range(3):
+                            val = (lam_w * (g[i][a] * g[j][b])
+                                   + mu_w * (g[i][b] * g[j][a]))
+                            if a == b:
+                                val = val + dot
+                            col = 3 * j + b
+                            if qp == 0:
+                                out_ref[row * ek + col, :] = val
+                            else:
+                                out_ref[row * ek + col, :] = (
+                                    out_ref[row * ek + col, :] + val)
+
+    return kernel
+
+
 def _iso_apply(element_type: str, coords_e, u_e, lam, mu, block,
                interpret):
     dn, w = _iso_tables(element_type)
@@ -458,11 +507,12 @@ def _iso_apply(element_type: str, coords_e, u_e, lam, mu, block,
 
 
 def _iso_ke(element_type: str, coords_e, lam, mu, block, interpret,
-            transpose_out):
+            transpose_out, stream=True):
     dn, w = _iso_tables(element_type)
     k = len(dn[0])
     ek = 3 * k
-    kernel = _make_iso_ke_kernel(dn, w, k)
+    make = _make_iso_ke_kernel_stream if stream else _make_iso_ke_kernel
+    kernel = make(dn, w, k)
     C = coords_e.shape[0]
     Cp = _cdiv(C, block) * block
     ct = jnp.pad(jnp.swapaxes(coords_e.reshape(C, ek), 0, 1),
@@ -502,25 +552,25 @@ def tet10_apply_pallas(coords_e: jnp.ndarray, u_e: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret",
-                                             "transpose_out"))
+                                             "transpose_out", "stream"))
 def hex8_element_stiffness_pallas(coords_e: jnp.ndarray, lam: jnp.ndarray,
                                   mu: jnp.ndarray, block: int = 256,
                                   interpret: bool = False,
-                                  transpose_out: bool = True
-                                  ) -> jnp.ndarray:
+                                  transpose_out: bool = True,
+                                  stream: bool = True) -> jnp.ndarray:
     """Fused Hex8 Ke batch [C,8,3] -> [C,24,24] (2x2x2 Gauss)."""
     return _iso_ke("hex8", coords_e, lam, mu, block, interpret,
-                   transpose_out)
+                   transpose_out, stream)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret",
-                                             "transpose_out"))
+                                             "transpose_out", "stream"))
 def tet10_element_stiffness_pallas(coords_e: jnp.ndarray,
                                    lam: jnp.ndarray, mu: jnp.ndarray,
                                    block: int = 128,
                                    interpret: bool = False,
-                                   transpose_out: bool = True
-                                   ) -> jnp.ndarray:
+                                   transpose_out: bool = True,
+                                   stream: bool = True) -> jnp.ndarray:
     """Fused Tet10 Ke batch [C,10,3] -> [C,30,30] (4-point rule)."""
     return _iso_ke("tet10", coords_e, lam, mu, block, interpret,
-                   transpose_out)
+                   transpose_out, stream)
