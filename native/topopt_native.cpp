@@ -349,6 +349,108 @@ int32_t topopt_bsr_rap_scalar(
     return 0;
 }
 
+// --------------------------------------------------------------------------
+// Gradient-factorized element data: physical shape-function gradients
+// g[c, q, k, a] and quadrature weights wdet[c, q] per element.
+//
+// For isotropic elasticity every contribution block factorizes as
+//   Kl[i,j](a,b) = sum_q wdet_q * g_qi[a] * g_qj[b]
+//   Km[i,j](a,b) = sum_q wdet_q * (g_qi[b] * g_qj[a] + (a==b) g_qi.g_qj)
+// (reference constitutive law FiniteElementAnalysis.jl:126-129), so the
+// skeleton needs only g/wdet (~130 MB at 1.23M tets) instead of the
+// per-contribution Kl/Km planes (2.8 GB) — fresh host memory populates
+// at ~30 MB/s on this VM, so bytes touched == build wall-clock.
+// Ghost cells (detJ == 0) keep wdet = 0 and are inert.
+void topopt_element_gradients(const double* coords, const int32_t* conn,
+                              int64_t n_cells, int32_t k,
+                              const double* dn, const double* w, int32_t nqp,
+                              double* g_out, double* wdet_out) {
+    for (int64_t c = 0; c < n_cells; ++c) {
+        const int32_t* cell = conn + c * k;
+        for (int32_t q = 0; q < nqp; ++q) {
+            const double* dq = dn + static_cast<int64_t>(q) * k * 3;
+            double J[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+            for (int32_t kk_ = 0; kk_ < k; ++kk_) {
+                const double* x = coords + 3 * static_cast<int64_t>(cell[kk_]);
+                const double* d = dq + 3 * kk_;
+                for (int a = 0; a < 3; ++a)
+                    for (int b = 0; b < 3; ++b) J[a][b] += x[a] * d[b];
+            }
+            double A = J[1][1] * J[2][2] - J[1][2] * J[2][1];
+            double B = J[0][2] * J[2][1] - J[0][1] * J[2][2];
+            double Cc = J[0][1] * J[1][2] - J[0][2] * J[1][1];
+            double det = J[0][0] * A + J[1][0] * B + J[2][0] * Cc;
+            double Ji[3][3];
+            if (det == 0.0) {
+                Ji[0][0] = Ji[1][1] = Ji[2][2] = 1.0;
+                Ji[0][1] = Ji[0][2] = Ji[1][0] = 0.0;
+                Ji[1][2] = Ji[2][0] = Ji[2][1] = 0.0;
+            } else {
+                double inv = 1.0 / det;
+                Ji[0][0] = A * inv;
+                Ji[0][1] = B * inv;
+                Ji[0][2] = Cc * inv;
+                Ji[1][0] = (J[1][2] * J[2][0] - J[1][0] * J[2][2]) * inv;
+                Ji[1][1] = (J[0][0] * J[2][2] - J[0][2] * J[2][0]) * inv;
+                Ji[1][2] = (J[0][2] * J[1][0] - J[0][0] * J[1][2]) * inv;
+                Ji[2][0] = (J[1][0] * J[2][1] - J[1][1] * J[2][0]) * inv;
+                Ji[2][1] = (J[0][1] * J[2][0] - J[0][0] * J[2][1]) * inv;
+                Ji[2][2] = (J[0][0] * J[1][1] - J[0][1] * J[1][0]) * inv;
+            }
+            double* gq = g_out + ((c * nqp + q) * k) * 3;
+            for (int32_t kk_ = 0; kk_ < k; ++kk_) {
+                const double* d = dq + 3 * kk_;
+                for (int a = 0; a < 3; ++a)
+                    gq[kk_ * 3 + a] = d[0] * Ji[0][a] + d[1] * Ji[1][a] +
+                                      d[2] * Ji[2][a];
+            }
+            wdet_out[c * nqp + q] = det * w[q];
+        }
+    }
+}
+
+// --------------------------------------------------------------------------
+// Global block values from gradient-factorized element data.
+//
+// For each deduplicated block b, sums its contributions
+// t in [indptr[b], indptr[b+1]) with per-element material:
+//   blocks[b] += lam[e_t] * Kl(i_t, j_t) + mu[e_t] * Km(i_t, j_t)
+// where (i, j) = (ij_t / k, ij_t % k).  Output is node-major [nnzb, 9]
+// (row-major 3x3 blocks) — the layout build_bell_values consumes, so no
+// transpose pass exists.  This replaces the Rl/Rm contribution-CSR
+// matvecs (scipy) whose index+data traffic was ~4.2 GB per density swap.
+void topopt_blocks_from_g(const double* g, const double* wdet, int32_t nqp,
+                          int32_t k, const int32_t* elem,
+                          const uint16_t* ij, const int64_t* indptr,
+                          int64_t nnzb, const double* lam, const double* mu,
+                          double* blocks) {
+    for (int64_t b = 0; b < nnzb; ++b) {
+        double acc[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+        for (int64_t t = indptr[b]; t < indptr[b + 1]; ++t) {
+            const int64_t e = elem[t];
+            const int32_t i = ij[t] / k, j = ij[t] % k;
+            const double le = lam[e], me = mu[e];
+            const double* ge = g + (e * nqp) * k * 3;
+            const double* we = wdet + e * nqp;
+            for (int32_t q = 0; q < nqp; ++q) {
+                const double* gi = ge + (q * k + i) * 3;
+                const double* gj = ge + (q * k + j) * 3;
+                const double wd = we[q];
+                const double dot =
+                    wd * (gi[0] * gj[0] + gi[1] * gj[1] + gi[2] * gj[2]);
+                for (int a = 0; a < 3; ++a)
+                    for (int bb = 0; bb < 3; ++bb) {
+                        double v = le * wd * gi[a] * gj[bb] +
+                                   me * wd * gi[bb] * gj[a];
+                        if (a == bb) v += me * dot;
+                        acc[a * 3 + bb] += v;
+                    }
+            }
+        }
+        for (int m = 0; m < 9; ++m) blocks[b * 9 + m] = acc[m];
+    }
+}
+
 // Back-compat entry without the dest map.
 void topopt_unit_ke_cm(const double* coords, const int32_t* conn,
                        int64_t n_cells, int32_t k,
@@ -358,6 +460,6 @@ void topopt_unit_ke_cm(const double* coords, const int32_t* conn,
                            nullptr);
 }
 
-int topopt_version() { return 3; }
+int topopt_version() { return 4; }
 
 }  // extern "C"

@@ -114,6 +114,30 @@ def test_structured_pallas_matches_slices(monkeypatch):
         np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
 
 
+def test_structured_pallas_window_matches_slices(monkeypatch):
+    """Opt-in z-blocked window kernel (TOPOPT_STENCIL_KERNEL=window) ==
+    slice formulation at several z extents (NB/NZB block seams, front/
+    back halo blocks).  Chip-validated separately (tpu_stencil_parity);
+    slower than the per-plane kernel at headline scale, so opt-in."""
+    rng = np.random.default_rng(7)
+    # small window cap => NB=1..2 at these sizes: exercises multi-block
+    monkeypatch.setenv("TOPOPT_STENCIL_WINDOW_MAX", str(64 * 1024))
+    for dims in ((6, 4, 2), (4, 3, 7)):
+        nx, ny, nz = dims
+        escale = rng.uniform(0.1, 1.0, (nz, ny, nx))
+        for esc in (None, escale):
+            mesh, _, st = _pair(nx=nx, ny=ny, nz=nz, mask=True,
+                                escale=esc)
+            u = jnp.asarray(rng.standard_normal(mesh.n_dofs))
+            monkeypatch.setenv("TOPOPT_STENCIL", "slices")
+            ref = np.asarray(st.matvec(u))
+            monkeypatch.setenv("TOPOPT_STENCIL", "pallas")
+            monkeypatch.setenv("TOPOPT_STENCIL_KERNEL", "window")
+            got = np.asarray(st.matvec(u))
+            monkeypatch.delenv("TOPOPT_STENCIL_KERNEL")
+            np.testing.assert_allclose(got, ref, rtol=1e-11, atol=1e-12)
+
+
 def test_structured_blocks_and_diagonal():
     mesh, gen, st = _pair(mask=True)
     np.testing.assert_allclose(np.asarray(st.node_blocks_raw()),

@@ -33,6 +33,30 @@ if _os.environ.get("TOPOPT_NO_MALLOPT") != "1":
     except Exception:                      # pragma: no cover — non-glibc
         pass
 
+# Hugepage-backed numpy allocator: this host first-touches plain
+# malloc'd pages at 8-400 MB/s but MADV_HUGEPAGE regions at ~1.4 GB/s
+# (THP defrag=defer+madvise: only madvise'd mappings get synchronous
+# hugepages).  The hierarchy build streams multi-GB numpy buffers, so
+# installing a PyDataMem handler that mmaps+madvises every allocation
+# >= 4 MB removes the dominant page-fault cost (native/np_hugealloc.c).
+if _os.environ.get("TOPOPT_NO_HUGEPAGES") != "1":
+    try:
+        import sys as _sys
+
+        _nat_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "native")
+        if _os.path.exists(_os.path.join(_nat_dir, "np_hugealloc.so")):
+            _sys.path.insert(0, _nat_dir)
+            try:
+                import np_hugealloc as _npha
+
+                _npha.install()
+            finally:
+                _sys.path.remove(_nat_dir)
+    except Exception:                      # pragma: no cover
+        pass
+
 # Flush-to-zero/denormals-are-zero for the host float pipeline: SIMP
 # values are Emin-scaled down to ~1e-8 and their products reach the
 # fp64 subnormal range inside the Galerkin RAP / LAPACK eigensolves,

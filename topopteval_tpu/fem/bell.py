@@ -814,9 +814,12 @@ def _finish_build(levels, transfers, host_ops, host_binv9,
             hostd[f"L{i}_t_rcmeta"] = th["rcmeta"]
     info["host_arrays"] = hostd
     # feed the refinement residual oracle without any device readback
-    system.host_fine = {"cols2": hostd["L0_cols2"],
-                        "vals2": hostd["L0_vals2"],
-                        "vals2_lo": hostd.get("fine_vals2_lo")}
+    # (host_mirrors=False leaves no L0 planes — the fp64 BSR twin below
+    # serves the oracle instead, so host_fine is optional)
+    if "L0_cols2" in hostd:
+        system.host_fine = {"cols2": hostd["L0_cols2"],
+                            "vals2": hostd["L0_vals2"],
+                            "vals2_lo": hostd.get("fine_vals2_lo")}
     # the exact fp64 BSR twin already exists (built for the power
     # iteration) — attach it so _host_csr64 never reconstructs it from
     # the packed planes (~1 min of single-core transposes at 1.23M tets,
@@ -1087,7 +1090,9 @@ def _build_bell_multigrid_legacy(
 # (reference FiniteElementAnalysis.jl:547) and SIMP assembly (:654-707).
 # ---------------------------------------------------------------------------
 
-_SKEL_VERSION = 2     # v2: scalar Pn/PTn CSRs for the native RAP
+_SKEL_VERSION = 3     # v3: gradient-factorized element data (g/wdet +
+#                       sorted contribution list) replaces the Rl/Rm
+#                       per-contribution planes — 2.8 GB -> ~0.4 GB
 
 
 class SkeletonMismatch(RuntimeError):
@@ -1181,57 +1186,39 @@ def build_bell_skeleton(mesh: Mesh,
     mask_p = mask_il.reshape(N, 3)[perm].reshape(-1)
     t0 = tick("rcm_permute", t0)
 
-    # --- contribution CSR: blocks = Rl @ lam_e + Rm @ mu_e -------------------
-    # Rows are COMPONENT-major (row a*nnzb + g holds group g's
-    # per-element contributions for block component a), so the column
-    # pattern/indptr are one 19.7M-entry tile repeated 9x and the data
-    # planes are single fancy-gathers — the row-interleaved layout cost
-    # 71 s of random scatter at 1.23M tets.  The value-pass matvec
-    # output is [9, nnzb] and transposes once (0.24 GB) to block rows.
+    # --- sorted contribution list + gradient-factorized element data ---------
+    # Every contribution block factorizes through the physical gradients
+    #   Kl[i,j](a,b) = sum_q wdet_q g_qi[a] g_qj[b]
+    #   Km[i,j](a,b) = sum_q wdet_q (g_qi[b] g_qj[a] + (a==b) g_qi.g_qj)
+    # (constitutive law, FiniteElementAnalysis.jl:126-129), so the
+    # skeleton stores g/wdet (~130 MB at 1.23M tets) plus the sorted
+    # (element, local-ij) contribution list — NOT the expanded 2.8 GB
+    # per-contribution Kl/Km planes of rounds 4-5a.  Fresh host memory
+    # populates at ~30 MB/s on this VM (hypervisor-backed; measured,
+    # docs/PERF_NOTES.md), so bytes touched == build wall-clock.
     G_raw = g_rank[grp_raw]
-    base2 = starts_new[G_raw] + rank_raw    # [nnz_raw] comp-plane dest
+    base2 = starts_new[G_raw] + rank_raw    # [nnz_raw] sorted dest
     del grp_raw, rank_raw, G_raw
-    indices_one = np.empty(nnz_raw, np.int32)
-    e_raw = np.repeat(np.arange(C, dtype=np.int32), k * k)
-    indices_one[base2] = e_raw
-    R_indices = np.tile(indices_one, 9)
-    R_indptr = np.zeros(nnzb * 9 + 1, np.int64)
-    np.cumsum(np.tile(len_new, 9), out=R_indptr[1:])
-    del e_raw, indices_one
+    elem_sorted = np.empty(nnz_raw, np.int32)
+    elem_sorted[base2] = np.repeat(np.arange(C, dtype=np.int32), k * k)
+    ij_sorted = np.empty(nnz_raw, np.uint16)
+    ij_sorted[base2] = np.tile(np.arange(k * k, dtype=np.uint16), C)
+    grp_indptr = np.append(starts_new, nnz_raw).astype(np.int64)
+    del base2
     t0 = tick("csr_structure", t0)
 
-    # both planes stacked [18, nnz_raw]; the native kernel writes each
-    # contribution straight to its sorted destination (base2), so no
-    # raw-order intermediate, gather pass, or contiguous copy exists —
-    # this host's first-touch page faults run at 40-400 MB/s, so pages
-    # touched ~= wall-clock and the 3x fewer passes dominate the win
-    K_cm = np.empty((18, nnz_raw))
-    from ..io.native import unit_ke_cm_native
+    from ..io.native import element_gradients_native
     from ..ops.elements import element_tables
     _, dN_t, w_t = element_tables(
         mesh.element_type, 1 if mesh.element_type == "tet4" else order)
-    if unit_ke_cm_native(np.asarray(mesh.coords, np.float64),
-                         mesh.conn, np.asarray(dN_t, np.float64),
-                         np.asarray(w_t, np.float64), K_cm,
-                         dest=base2.astype(np.int32)):
-        Rl_data = K_cm[:9].reshape(-1)      # contiguous views
-        Rm_data = K_cm[9:].reshape(-1)
-    else:
-        # NumPy fallback: raw-order einsum chunks, then one gather
-        g_idx = np.empty(nnz_raw, np.int32)
-        g_idx[base2] = np.arange(nnz_raw, dtype=np.int32)
-        pos = 0
-        for cn, kl, km in _host_ke_blocks_unit(mesh, order):
-            cc = cn.shape[0] * k * k
-            K_cm[:9, pos: pos + cc] = kl.reshape(cc, 9).T
-            K_cm[9:, pos: pos + cc] = km.reshape(cc, 9).T
-            pos += cc
-        K_cm = K_cm[:, g_idx]
-        del g_idx
-        Rl_data = np.ascontiguousarray(K_cm[:9]).reshape(-1)
-        Rm_data = np.ascontiguousarray(K_cm[9:]).reshape(-1)
-        del K_cm
-    del base2
+    dN_t = np.asarray(dN_t, np.float64)
+    w_t = np.asarray(w_t, np.float64)
+    nqp = dN_t.shape[0]
+    g_el = np.empty((C, nqp, k, 3))
+    wdet_el = np.empty((C, nqp))
+    if not element_gradients_native(np.asarray(mesh.coords, np.float64),
+                                    mesh.conn, dN_t, w_t, g_el, wdet_el):
+        _host_gradients(mesh, dN_t, w_t, g_el, wdet_el)
     t0 = tick("unit_assembly", t0)
 
     # --- fine ELL layout + diag/BSR structure --------------------------------
@@ -1247,8 +1234,9 @@ def build_bell_skeleton(mesh: Mesh,
         "order": np.int64(order), "group": np.int64(group),
         "perm": perm,
         "mask_p": mask_p,
-        "R_indptr": R_indptr, "R_indices": R_indices,
-        "Rl_data": Rl_data, "Rm_data": Rm_data,
+        "g": g_el, "wdet": wdet_el, "k_nodes": np.int64(k),
+        "elem_sorted": elem_sorted, "ij_sorted": ij_sorted,
+        "grp_indptr": grp_indptr,
         "rows_d": rows_d.astype(np.int32),
         "cols_d": cols_d.astype(np.int32),
         "bsr_indptr": bsr_indptr,
@@ -1261,17 +1249,11 @@ def build_bell_skeleton(mesh: Mesh,
     t0 = tick("fine_layout", t0)
 
     # --- unit operator (pattern source for the level chain) ------------------
-    Rl = sp.csr_matrix((Rl_data, R_indices, R_indptr),
-                       shape=(nnzb * 9, C), copy=False)
-    Rm = sp.csr_matrix((Rm_data, R_indices, R_indptr),
-                       shape=(nnzb * 9, C), copy=False)
     ones = np.ones(C)
-    bl_unit = np.ascontiguousarray(
-        (Rl @ ones + Rm @ ones).reshape(9, nnzb).T)
+    bl_unit = _skel_blocks(skel, ones, ones)
     A_unit = sp.bsr_matrix((bl_unit.reshape(-1, 3, 3),
                             cols_d.astype(np.int64), bsr_indptr),
                            shape=(3 * N, 3 * N))
-    skel_csr_cache = (Rl, Rm)
     t0 = tick("unit_operator", t0)
 
     # --- voxel lattice dims (same policy as the monolithic build) ------------
@@ -1420,7 +1402,6 @@ def build_bell_skeleton(mesh: Mesh,
     t0 = tick("level_chain", t0)
 
     skel["_phases"] = phases
-    skel["_csr"] = skel_csr_cache
     skel["skeleton_seconds"] = np.float64(
         round(time.perf_counter() - t_all, 3))
     if verbose:
@@ -1429,22 +1410,69 @@ def build_bell_skeleton(mesh: Mesh,
     return skel
 
 
-def _skel_csr(skel: dict):
-    """Lazily cache the Rl/Rm scipy CSR views on the skeleton dict."""
-    import scipy.sparse as sp
-    cached = skel.get("_csr")
-    if cached is None:
-        nnzb9 = skel["R_indptr"].shape[0] - 1
-        C = int(skel["n_cells"])
-        Rl = sp.csr_matrix(
-            (skel["Rl_data"], skel["R_indices"], skel["R_indptr"]),
-            shape=(nnzb9, C), copy=False)
-        Rm = sp.csr_matrix(
-            (skel["Rm_data"], skel["R_indices"], skel["R_indptr"]),
-            shape=(nnzb9, C), copy=False)
-        cached = (Rl, Rm)
-        skel["_csr"] = cached
-    return cached
+def _host_gradients(mesh: Mesh, dN_t: np.ndarray, w_t: np.ndarray,
+                    g_out: np.ndarray, wdet_out: np.ndarray,
+                    chunk: int = 131072) -> None:
+    """NumPy fallback for topopt_element_gradients (same semantics,
+    including identity-J/zero-weight handling of padded ghost cells)."""
+    conn = np.asarray(mesh.conn)
+    coords = np.asarray(mesh.coords, np.float64)
+    C = conn.shape[0]
+    for c0 in range(0, C, chunk):
+        cn = conn[c0:c0 + chunk]
+        x = coords[cn]                                  # [cc, k, 3]
+        J = np.einsum("cka,qkb->cqab", x, dN_t)
+        det = np.linalg.det(J)
+        ghost = det == 0.0
+        if ghost.any():
+            J = J.copy()
+            J[ghost] = np.eye(3)
+        Ji = np.linalg.inv(J)
+        g_out[c0:c0 + chunk] = np.einsum("qkb,cqba->cqka", dN_t, Ji)
+        wdet_out[c0:c0 + chunk] = det * w_t[None, :]
+
+
+def _skel_blocks(skel: dict, lam_e: np.ndarray,
+                 mu_e: np.ndarray) -> np.ndarray:
+    """Deduplicated global block values [nnzb, 9] for a material — the
+    whole re-assembly of a density swap (native kernel, numpy fallback).
+    Reference semantics: assemble_stiffness_matrix_simp!
+    (FiniteElementAnalysis.jl:654-707) without materializing K."""
+    from ..io.native import blocks_from_g_native
+    g = skel["g"]
+    wdet = skel["wdet"]
+    elem = skel["elem_sorted"]
+    ij = skel["ij_sorted"]
+    indptr = skel["grp_indptr"]
+    k = int(skel["k_nodes"])
+    out = blocks_from_g_native(g, wdet, elem, ij, indptr, lam_e, mu_e)
+    if out is not None:
+        return out
+    nnzb = indptr.shape[0] - 1
+    out = np.empty((nnzb, 9))
+    eye = np.eye(3).reshape(9)
+    b0 = 0
+    step = 4_000_000
+    while b0 < nnzb:
+        b1 = int(np.searchsorted(indptr, indptr[b0] + step, "left"))
+        b1 = min(max(b1, b0 + 1), nnzb)
+        t0, t1 = int(indptr[b0]), int(indptr[b1])
+        e = elem[t0:t1]
+        i = (ij[t0:t1] // k).astype(np.int64)
+        j = (ij[t0:t1] % k).astype(np.int64)
+        wd = wdet[e]                                    # [t, q]
+        gi = g[e, :, i, :]                              # [t, q, 3]
+        gj = g[e, :, j, :]
+        kl = np.einsum("tq,tqa,tqb->tab", wd, gi, gj)
+        km = kl.transpose(0, 2, 1).copy()       # wd * gi[b] * gj[a]
+        dot = np.einsum("tq,tqa,tqa->t", wd, gi, gj)
+        vals = (lam_e[e][:, None] * kl.reshape(-1, 9)
+                + mu_e[e][:, None] * (km.reshape(-1, 9)
+                                      + dot[:, None] * eye[None, :]))
+        out[b0:b1] = np.add.reduceat(
+            vals, (indptr[b0:b1] - t0).astype(np.int64), axis=0)
+        b0 = b1
+    return out
 
 
 def _fill_plane(dest_flat: np.ndarray, n_flat: int, values: np.ndarray,
@@ -1501,14 +1529,9 @@ def build_bell_values(skel: dict, lam, mu,
     cols_d = skel["cols_d"]
     nnzb = rows_d.shape[0]
 
-    # --- re-assembly: two sparse matvecs -------------------------------------
+    # --- re-assembly from the gradient factorization (node-major) -----------
     t0 = time.perf_counter()
-    Rl, Rm = _skel_csr(skel)
-    blocks_flat = Rl @ lam_e
-    np.add(blocks_flat, Rm @ mu_e, out=blocks_flat)
-    # comp-major CSR rows (see build_bell_skeleton) -> block rows
-    blocks = np.ascontiguousarray(blocks_flat.reshape(9, nnzb).T)
-    del blocks_flat
+    blocks = _skel_blocks(skel, lam_e, mu_e)
     t0 = tick("values_matvec", t0)
 
     # --- fine operator (hi/lo split for fp32) --------------------------------

@@ -57,6 +57,24 @@ def load_native() -> Optional[ctypes.CDLL]:
                         ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
                         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
                         ctypes.POINTER(ctypes.c_int32)]
+                if lib.topopt_version() >= 4:
+                    lib.topopt_element_gradients.argtypes = [
+                        ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                        ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_double)]
+                    lib.topopt_blocks_from_g.argtypes = [
+                        ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+                        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_uint16),
+                        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_double),
+                        ctypes.POINTER(ctypes.c_double)]
+                if lib.topopt_version() >= 3:
                     lib.topopt_bsr_rap_scalar.restype = ctypes.c_int32
                     lib.topopt_bsr_rap_scalar.argtypes = [
                         ctypes.c_int64, ctypes.c_int64,
@@ -127,6 +145,63 @@ def unit_ke_cm_native(coords: np.ndarray, conn: np.ndarray,
         ctypes.c_int32(dn.shape[0]),
         _ptr(out, ctypes.c_double), ctypes.c_int64(out.shape[1]), dp)
     return True
+
+
+def element_gradients_native(coords: np.ndarray, conn: np.ndarray,
+                             dn: np.ndarray, w: np.ndarray,
+                             g_out: np.ndarray,
+                             wdet_out: np.ndarray) -> bool:
+    """Physical shape-function gradients g[c,q,k,3] + quadrature weights
+    wdet[c,q] (the gradient factorization of the unit Ke — see
+    native/topopt_native.cpp).  Returns False if unavailable."""
+    lib = native_v2()
+    if lib is None or lib.topopt_version() < 4:
+        return False
+    C, k = conn.shape
+    nqp = dn.shape[0]
+    coords = np.ascontiguousarray(coords, np.float64)
+    conn = np.ascontiguousarray(conn, np.int32)
+    dn = np.ascontiguousarray(dn, np.float64)
+    w = np.ascontiguousarray(w, np.float64)
+    assert g_out.flags.c_contiguous and g_out.shape == (C, nqp, k, 3)
+    assert wdet_out.flags.c_contiguous and wdet_out.shape == (C, nqp)
+    lib.topopt_element_gradients(
+        _ptr(coords, ctypes.c_double), _ptr(conn, ctypes.c_int32),
+        ctypes.c_int64(C), ctypes.c_int32(k),
+        _ptr(dn, ctypes.c_double), _ptr(w, ctypes.c_double),
+        ctypes.c_int32(nqp),
+        _ptr(g_out, ctypes.c_double), _ptr(wdet_out, ctypes.c_double))
+    return True
+
+
+def blocks_from_g_native(g: np.ndarray, wdet: np.ndarray,
+                         elem: np.ndarray, ij: np.ndarray,
+                         indptr: np.ndarray, lam: np.ndarray,
+                         mu: np.ndarray) -> Optional[np.ndarray]:
+    """Deduplicated global block values [nnzb, 9] (node-major, row-major
+    3x3) from gradient-factorized element data and a sorted contribution
+    list.  None if the library is unavailable."""
+    lib = native_v2()
+    if lib is None or lib.topopt_version() < 4:
+        return None
+    C, nqp, k, _ = g.shape
+    g = np.ascontiguousarray(g, np.float64)
+    wdet = np.ascontiguousarray(wdet, np.float64)
+    elem = np.ascontiguousarray(elem, np.int32)
+    ij = np.ascontiguousarray(ij, np.uint16)
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    lam = np.ascontiguousarray(lam, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    nnzb = indptr.shape[0] - 1
+    out = np.empty((nnzb, 9), np.float64)
+    lib.topopt_blocks_from_g(
+        _ptr(g, ctypes.c_double), _ptr(wdet, ctypes.c_double),
+        ctypes.c_int32(nqp), ctypes.c_int32(k),
+        _ptr(elem, ctypes.c_int32), _ptr(ij, ctypes.c_uint16),
+        _ptr(indptr, ctypes.c_int64), ctypes.c_int64(nnzb),
+        _ptr(lam, ctypes.c_double), _ptr(mu, ctypes.c_double),
+        _ptr(out, ctypes.c_double))
+    return out
 
 
 def bsr_rap_scalar_native(A_indptr, A_indices, A_data,
