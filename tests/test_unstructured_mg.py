@@ -391,3 +391,31 @@ def test_chunked_cg_history_concatenates():
     assert len(res.history) == res.iterations + 1
     # monotone-ish: final residual below the initial one
     assert res.history[-1] < res.history[0]
+
+
+def test_solve_system_multigrid_no_disk_cache(monkeypatch):
+    """TOPOPT_MG_CACHE_DIR=off (the bench's cold-build protocol) builds
+    with host_mirrors=False — no packed host planes exist, and the
+    refinement oracle must run off the fp64 BSR twin.  Round-5
+    regression: _finish_build KeyError 'L0_cols2' broke every no-cache
+    BELL solve (tet10/imported/simp bench legs)."""
+    monkeypatch.setenv("TOPOPT_MG_CACHE_DIR", "off")
+    mesh = generate_grid_tet(6, 3, 3, (0, 0, 0), (6.0, 3.0, 3.0))
+    mesh.structured_info = None              # force the BELL route
+    problem = setup_problem(mesh, dtype=jnp.float32)
+    assemble_stiffness_matrix(problem, LAM, MU)
+    apply_fixed_boundary(problem, nodes_at_plane(mesh, 0, 0.0, tol=1e-6))
+    apply_force(problem, nodes_at_plane(mesh, 0, 6.0, tol=1e-6),
+                [0.0, 0.0, -1.0])
+    res = solve_system(problem, SolverConfig(
+        method="cg", preconditioner="multigrid", tolerance=1e-8,
+        max_iterations=300, verbose=False))
+    assert res.converged
+    p64 = setup_problem(mesh, dtype=jnp.float64)
+    assemble_stiffness_matrix(p64, LAM, MU)
+    apply_fixed_boundary(p64, nodes_at_plane(mesh, 0, 0.0, tol=1e-6))
+    apply_force(p64, nodes_at_plane(mesh, 0, 6.0, tol=1e-6),
+                [0.0, 0.0, -1.0])
+    direct = solve_system(p64, SolverConfig(method="direct",
+                                            verbose=False))
+    assert abs(res.energy - direct.energy) / abs(direct.energy) < 1e-6

@@ -108,15 +108,33 @@ def run_sweep(nx=16, ny=8, nz=4, B=64, L=4, tol=1e-6, maxiter=20000,
                                                            B, L)
     log(f"mesh {mesh.n_cells} tets / {mesh.n_dofs} dofs; {B}x{L} lanes "
         f"(SIMP Emin=1e-9 p=3, tol={tol})")
-    # warmup (compile)
-    e, it, conv = evaluate_design_batch(problem, densities, loads,
-                                        material=material, tol=tol,
-                                        maxiter=maxiter)
-    t0 = time.perf_counter()
-    e, it, conv = evaluate_design_batch(problem, densities, loads,
-                                        material=material, tol=tol,
-                                        maxiter=maxiter)
-    dt = time.perf_counter() - t0
+    # heartbeat: the warmup compile + chunked lane runs are silent for
+    # minutes on chip (remote compile + long CG dispatches), which trips
+    # log-growth watchdogs (run_tpu.sh killed a healthy run at 300 s)
+    import threading
+    hb_stop = threading.Event()
+    t_hb = time.perf_counter()
+
+    def _heartbeat():
+        while not hb_stop.wait(120):
+            log(f"sweep heartbeat: {time.perf_counter() - t_hb:.0f}s "
+                f"elapsed (compile or lane chunks in flight)")
+
+    hb = threading.Thread(target=_heartbeat, daemon=True)
+    hb.start()
+    try:
+        # warmup (compile)
+        e, it, conv = evaluate_design_batch(problem, densities, loads,
+                                            material=material, tol=tol,
+                                            maxiter=maxiter)
+        log(f"sweep warmup done in {time.perf_counter() - t_hb:.1f}s")
+        t0 = time.perf_counter()
+        e, it, conv = evaluate_design_batch(problem, densities, loads,
+                                            material=material, tol=tol,
+                                            maxiter=maxiter)
+        dt = time.perf_counter() - t0
+    finally:
+        hb_stop.set()
     lanes = B * L
     log(f"sweep: {dt:.2f}s for {lanes} lanes -> {lanes / dt:.2f} lanes/s; "
         f"converged {int(conv.sum())}/{lanes}, "

@@ -32,13 +32,13 @@ for attempt in $(seq 1 "$TRIES"); do
     if [ $((now - start)) -gt 420 ] && [ "${cpu:-99}" -lt 12 ] \
        && [ $((now - last_change)) -gt 420 ]; then
       echo "[run_tpu] claim-stuck (cpu ${cpu}s), killing pid $PID" >> "$LOG"
-      kill -9 $PID 2>/dev/null
+      kill -9 -$PID 2>/dev/null
       sleep 5
       break
     fi
     if [ $((now - last_change)) -gt "$STALL" ]; then
       echo "[run_tpu] stalled ${STALL}s, killing pid $PID" >> "$LOG"
-      kill -9 $PID 2>/dev/null
+      kill -9 -$PID 2>/dev/null
       sleep 5
       break
     fi
